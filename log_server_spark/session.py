@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Defaults are chosen for the 100 TB design point and merely *parameterized*
+for local testing:
+
+- AQE on (runtime coalescing + skew-join splitting replaces hand-tuning).
+- Arrow on (every custom stage is a vectorized pandas UDF, never row-Python).
+- Session timezone pinned to UTC — the reference derives timestamps via the
+  *system* zone (reference: log-server-db/.../utils/Dates.scala:48
+  ``ZONE_ID = ZoneId.systemDefault()``); we pin UTC so results are
+  deterministic across clusters.
+- ``spark.sql.shuffle.partitions`` defaults to 2x cores locally; on a real
+  cluster AQE coalesces from a high initial number, so the value is safe to
+  raise via ``shuffle_partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024  # match HDFS-block-ish splits
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "log-server-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores). On a real cluster, pass ``None`` and let spark-submit set the
+    master; every config here remains valid at 1000 executors.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]*"))
+        except (IndexError, ValueError):
+            n = os.cpu_count() or 8
+        shuffle_partitions = max(8, 2 * n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", str(DEFAULT_MAX_PARTITION_BYTES))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
