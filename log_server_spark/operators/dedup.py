@@ -1,0 +1,61 @@
+"""Record deduplication — the reference's first-writer-wins hash dedup.
+
+Reference semantics (SURVEY.md A5/J1; BigStorage.scala:316-333,
+HeaderStorage.scala:99-114): a record is a duplicate iff an already-stored
+record has the same ``(normalized_table, id, content_hash)``; the FIRST
+occurrence in deterministic source order wins; later records with the same
+key but different content are all kept (not last-write-wins).
+
+Spark restatement, scale-first:
+
+- **in-batch**: a window ``row_number`` over the dedup key ordered by the
+  deterministic lineage position ``(url, warc_ts, seq)`` — the analogue of
+  the reference's sorted-source-order guarantee (O4) — keeps exactly one row
+  per key. (A bare ``dropDuplicates`` would be nondeterministic under
+  parallel scan order.)
+- **cross-batch**: a left-anti join of the incoming batch against the
+  committed key projection. At 100 TB the committed side is pruned to the
+  incoming batch's ``warc_ts`` day range before the join — the same
+  timestamp-range probe gate the reference applies per segment
+  (BigStorage.scala:30) — and AQE's skew-join handles hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEDUP_KEY = ["table", "record_id", "record_hash"]
+
+
+def dedup_in_batch(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+    """First-wins per dedup key within one batch, deterministically."""
+    order_cols = order_cols or ["url", "warc_ts", "seq"]
+    w = Window.partitionBy(*DEDUP_KEY).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def anti_join_committed(batch: DataFrame, committed_keys: DataFrame | None) -> DataFrame:
+    """Drop rows whose dedup key already exists in the committed store.
+
+    ``committed_keys`` must have exactly the DEDUP_KEY columns (a cheap
+    column-pruned scan of the sink — parquet/Iceberg reads just 3 columns).
+    """
+    if committed_keys is None:
+        return batch
+    pruned = committed_keys.select(*DEDUP_KEY).dropDuplicates(DEDUP_KEY)
+    return batch.join(pruned, on=DEDUP_KEY, how="left_anti")
+
+
+def split_duplicates(df: DataFrame, order_cols: list[str] | None = None):
+    """Return (kept, dup_count_df) — dup counts feed the ingest metrics (A4)."""
+    order_cols = order_cols or ["url", "warc_ts", "seq"]
+    w = Window.partitionBy(*DEDUP_KEY).orderBy(*[F.col(c).asc() for c in order_cols])
+    tagged = df.withColumn("_rn", F.row_number().over(w))
+    kept = tagged.filter(F.col("_rn") == 1).drop("_rn")
+    dups = tagged.filter(F.col("_rn") > 1).drop("_rn")
+    return kept, dups

@@ -1,0 +1,141 @@
+"""Reference-parity page parser — the single shared code path.
+
+Semantics reproduced (citations into /root/reference):
+
+- Chunk split on the byte delimiter ``b"\\n\\n---- "`` with the splitter's
+  exact boundary rule — a chunk spans [delimiter_index, next_delimiter_index),
+  i.e. every chunk after the first *includes* its leading delimiter, which the
+  subsequent trim reduces to a uniform ``"---- ..."`` prefix
+  (log-server-db/.../utils/InputStreamSplitter.java:31-52, OldLogReader.scala:47-50).
+- Charset sniff: decode UTF-8 with replacement; if any U+FFFD appears,
+  re-decode the bytes as cp1251 (db/SourceUtils.scala:8-13).
+- Java-style trim: strip only chars <= U+0020 from both ends
+  (OldLogReader.scala:50; java.lang.String#trim).
+- Validity: a chunk must contain ``'\\n'`` after trim (OldLogReader.scala:51);
+  the reference silently skips these — per our north_rule they are routed to
+  the error sink instead (SURVEY.md F4).
+- Record id: first line regex ``" id:(\\d+)"`` -> int id, else empty id
+  (OldLogReader.scala:29-30, 65).
+- Stream/table tag: the reference derives table name from the *filename*
+  regex ``^(.*)\\.sql\\.`` (OldLogReader.scala:39, 64); our pages carry the
+  tag in-band as ``" table:<name>"`` on the header line. Missing tag is the
+  NewLogReader empty-tableName error class (NewLogReader.scala:78-86) ->
+  error route.
+- Table normalization: strip a ``"ros."`` prefix (SourceLogRecord.scala:14-18).
+- Timestamp: fixed slice [5, 24) parsed as ``yyyy-MM-dd HH:mm:ss``
+  (OldLogReader.scala:33, 66). The reference resolves via the *system* zone
+  (Dates.scala:48); we pin UTC for determinism.
+- Payload bytes: UTF-8 encoding of the trimmed string (OldLogReader.scala:24);
+  payloads over 1 MiB are the reference's corruption guard (Storage.scala:19)
+  -> error route.
+
+This module is dependency-light pure Python so the Spark UDF
+(functions/parse.py) and the pytest golden generator share it verbatim.
+"""
+
+from __future__ import annotations
+
+import calendar
+import re
+from dataclasses import dataclass
+from datetime import datetime
+
+DELIMITER = b"\n\n---- "
+MAX_PAYLOAD_BYTES = 1 << 20  # Storage.scala:19
+_JAVA_WS = "".join(chr(c) for c in range(0x21))  # chars <= U+0020
+_ID_RE = re.compile(r" id:(\d+)")
+_TABLE_RE = re.compile(r" table:(\S+)")
+
+OK = "ok"
+ERR_NO_NEWLINE = "err_no_newline"
+ERR_BAD_DATE = "err_bad_date"
+ERR_MISSING_TABLE = "err_missing_table"
+ERR_OVERSIZE = "err_oversize"
+
+
+@dataclass
+class ParsedRecord:
+    seq: int
+    status: str  # OK or ERR_*
+    table: str | None  # normalized stream name
+    record_id: str | None  # canonical int rendering, None = empty id
+    ts_millis: int | None
+    text: str  # trimmed decoded chunk (the byte-identity invariant target)
+
+
+def split_chunks(data: bytes) -> list[bytes]:
+    """Splitter-parity chunking: chunk k spans [delim_idx_k, delim_idx_k+1).
+
+    Every chunk after the first keeps its leading delimiter (the search for
+    the next delimiter resumes at ``idx + len(DELIMITER)``, exactly like the
+    reference splitter's ``nextPos``), which ``java_trim`` later reduces to a
+    uniform ``"---- "`` record prefix.
+    """
+    chunks: list[bytes] = []
+    pos = 0
+    search = 0
+    while True:
+        idx = data.find(DELIMITER, search)
+        if idx == -1:
+            chunks.append(data[pos:])
+            return chunks
+        chunks.append(data[pos:idx])
+        pos = idx
+        search = idx + len(DELIMITER)
+
+
+def detect_decode(data: bytes) -> str:
+    """UTF-8 first; any replacement char -> cp1251 (SourceUtils.scala:8-13)."""
+    s = data.decode("utf-8", errors="replace")
+    if "�" in s:
+        return data.decode("cp1251", errors="replace")
+    return s
+
+
+def java_trim(s: str) -> str:
+    return s.strip(_JAVA_WS)
+
+
+def normalize_table(table: str) -> str:
+    return table[4:] if table.startswith("ros.") else table
+
+
+def parse_ts_millis(header_slice: str) -> int | None:
+    """Strict ``yyyy-MM-dd HH:mm:ss`` over a 19-char slice, UTC epoch ms."""
+    if len(header_slice) != 19:
+        return None
+    try:
+        dt = datetime.strptime(header_slice, "%Y-%m-%d %H:%M:%S")
+    except ValueError:
+        return None
+    return calendar.timegm(dt.timetuple()) * 1000
+
+
+def parse_page(html: bytes | None) -> list[ParsedRecord]:
+    """Parse one page's bytes into records (usually 1..3 per page)."""
+    if not html:
+        return [ParsedRecord(0, ERR_NO_NEWLINE, None, None, None, "")]
+    out: list[ParsedRecord] = []
+    for seq, chunk in enumerate(split_chunks(html)):
+        log = java_trim(detect_decode(chunk))
+        nl = log.find("\n")
+        if nl == -1:
+            out.append(ParsedRecord(seq, ERR_NO_NEWLINE, None, None, None, log))
+            continue
+        first_line = log[:nl]
+        m = _ID_RE.search(first_line)
+        record_id = str(int(m.group(1))) if m else None
+        tm = _TABLE_RE.search(first_line)
+        ts = parse_ts_millis(log[5:24])
+        if ts is None:
+            out.append(ParsedRecord(seq, ERR_BAD_DATE, None, record_id, None, log))
+            continue
+        if tm is None or not normalize_table(tm.group(1)):
+            out.append(ParsedRecord(seq, ERR_MISSING_TABLE, None, record_id, ts, log))
+            continue
+        table = normalize_table(tm.group(1))
+        if len(log.encode("utf-8")) > MAX_PAYLOAD_BYTES:
+            out.append(ParsedRecord(seq, ERR_OVERSIZE, table, record_id, ts, log))
+            continue
+        out.append(ParsedRecord(seq, OK, table, record_id, ts, log))
+    return out

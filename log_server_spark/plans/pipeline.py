@@ -1,0 +1,230 @@
+"""End-to-end batch DAG: parse -> dedup -> enrich -> route -> aggregate.
+
+The Spark restatement of the reference's `update` ingest lifecycle
+(SURVEY.md §3.1) plus the north_rule additions (enrich, fan-out sinks,
+windowed aggregates, lineage/resume, skew salting).
+
+Exactly-once / resume protocol (T4 analogue — the reference deletes source
+files only after a successful storage close, LogServerDb.scala:86-93; we
+never delete the immutable input, we record completion):
+
+- input files are processed in sorted path order (O4 determinism,
+  NewLogReader.scala:44-48) in batches of ``batch_files``;
+- each batch writes under ``records/batch=bNNNNN/sink=…/day=…``; the batch id
+  is a pure function of position in the sorted file list, so a rerun targets
+  the same directory;
+- the lineage table is appended ONLY after the batch's records write
+  succeeds. On resume, batches present in lineage are skipped; a batch
+  directory without a lineage row is a torn write (the reference's
+  truncated-tail recovery, RecordStorage.scala:161-177) and is dropped and
+  reprocessed. With Iceberg this whole protocol collapses into one atomic
+  snapshot commit per batch — the directory dance is the parquet-local stand-in.
+
+Scale properties:
+- one scan per batch; the fan-out is a single ``partitionBy(sink, day)``
+  write, not N filtered re-scans;
+- cross-batch dedup reads a 3-column projection of the sink (column-pruned
+  scan) and anti-joins with AQE skew handling on;
+- a salt column spreads the hot-domain sink across ``salt`` reducers before
+  the write (north_rule skew requirement).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from log_server_spark.catalog import Warehouse
+from log_server_spark.functions.parse import parse_pages
+from log_server_spark.operators.dedup import DEDUP_KEY, anti_join_committed, split_duplicates
+from log_server_spark.operators.enrich import enrich
+from log_server_spark.operators.route import with_sink
+
+RECORDS = "records"
+LINEAGE = "lineage"
+METRICS_INGEST = "metrics_ingest"
+METRICS_SINK = "metrics_sink_stats"
+METRICS_WINDOWED = "metrics_windowed"
+
+LINEAGE_SCHEMA = "batch string, unit string, status string, n_pages long, committed_at double"
+
+
+@dataclass
+class BatchResult:
+    batch: str
+    files: list[str]
+    added: int
+    duplicates: int
+    errors: int
+
+
+def _list_units(pages_dir: str) -> list[str]:
+    units = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    if not units:
+        raise FileNotFoundError(f"no parquet files under {pages_dir}")
+    return units
+
+
+def _committed_batches(wh: Warehouse) -> set[str]:
+    if not wh.exists(LINEAGE):
+        return set()
+    return {
+        r["batch"]
+        for r in wh.read(LINEAGE).filter(F.col("status") == "committed").select("batch").distinct().collect()
+    }
+
+
+def _committed_keys(wh: Warehouse) -> DataFrame | None:
+    if not wh.exists(RECORDS):
+        return None
+    return (
+        wh.read(RECORDS)
+        .filter(F.col("status") == "ok")
+        .select(*DEDUP_KEY)
+    )
+
+
+def run_batch(
+    spark: SparkSession,
+    wh: Warehouse,
+    batch_id: str,
+    files: list[str],
+    lang_lookup: DataFrame,
+    domain_lookup: DataFrame,
+    salt: int = 8,
+) -> BatchResult:
+    # torn-write recovery FIRST: a batch dir without a lineage row is a
+    # partial write from a crashed run. It must be dropped before any
+    # DataFrame lists the records table, or the lazy scan will reference
+    # deleted files (and the anti-join would treat uncommitted rows as
+    # committed, dropping the whole reprocessed batch).
+    batch_dir = os.path.join(wh.path(RECORDS), f"batch={batch_id}")
+    if os.path.isdir(batch_dir):
+        shutil.rmtree(batch_dir)
+
+    pages = spark.read.parquet(*files)
+    parsed = parse_pages(pages).withColumn("day", F.to_date("warc_ts"))
+    parsed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    ok = parsed.filter(F.col("status") == "ok")
+    errors = parsed.filter(F.col("status") != "ok")
+
+    kept, _ = split_duplicates(ok)
+    kept = anti_join_committed(kept, _committed_keys(wh))
+
+    routed = with_sink(
+        enrich(kept.unionByName(errors), lang_lookup, domain_lookup)
+    ).withColumn("batch", F.lit(batch_id))
+
+    # defuse hot-domain skew: spread each (sink, day) across `salt` reducers
+    out = routed.repartition(
+        F.col("sink"), F.col("day"), F.pmod(F.hash("url"), F.lit(salt))
+    )
+
+    out.write.mode("append").partitionBy("batch", "sink", "day").parquet(wh.path(RECORDS))
+
+    # ingest counters (A4) — read back the written batch (cheap, column-pruned)
+    written = wh.read(RECORDS).filter(F.col("batch") == batch_id)
+    counts = {
+        r["k"]: r["n"]
+        for r in written.select(
+            F.when(F.col("status") == "ok", F.lit("added")).otherwise(F.lit("errors")).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # duplicates = parseable records minus survivors (covers in-batch AND
+    # cross-batch dups — the reference counts both, MemoryWiseLogWrapper:97-111)
+    n_dups = ok.count() - counts.get("added", 0)
+    n_pages = pages.count()
+    parsed.unpersist()
+
+    metrics = spark.createDataFrame(
+        [(batch_id, n_pages, counts.get("added", 0), n_dups, counts.get("errors", 0), time.time())],
+        "batch string, n_pages long, added long, duplicates long, errors long, committed_at double",
+    )
+    wh.write(metrics, METRICS_INGEST, mode="append")
+
+    lineage = spark.createDataFrame(
+        [(batch_id, u, "committed", n_pages, time.time()) for u in files],
+        LINEAGE_SCHEMA,
+    )
+    wh.write(lineage, LINEAGE, mode="append")
+    return BatchResult(batch_id, files, counts.get("added", 0), n_dups, counts.get("errors", 0))
+
+
+def refresh_aggregates(spark: SparkSession, wh: Warehouse) -> None:
+    """Recompute per-sink + windowed aggregate tables from the sink (A1-A3)."""
+    from log_server_spark.operators.aggregate import sink_stats, windowed_stats
+
+    records = wh.read(RECORDS)
+    wh.write(sink_stats(records), METRICS_SINK, mode="overwrite")
+    wh.write(windowed_stats(records), METRICS_WINDOWED, mode="overwrite")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_dir: str,
+    warehouse_root: str,
+    batch_files: int = 4,
+    salt: int = 8,
+    resume: bool = True,
+    aggregates: bool = True,
+) -> list[BatchResult]:
+    wh = Warehouse(warehouse_root, spark)
+    base = os.path.dirname(pages_dir.rstrip("/"))
+    lang_lookup = spark.read.parquet(os.path.join(base, "lang_lookup.parquet"))
+    domain_lookup = spark.read.parquet(os.path.join(base, "domain_lookup.parquet"))
+
+    units = _list_units(pages_dir)
+    batches = [
+        (f"b{bi:05d}", units[i : i + batch_files])
+        for bi, i in enumerate(range(0, len(units), batch_files))
+    ]
+    done = _committed_batches(wh) if resume else set()
+
+    results: list[BatchResult] = []
+    for batch_id, files in batches:
+        if batch_id in done:
+            continue
+        results.append(run_batch(spark, wh, batch_id, files, lang_lookup, domain_lookup, salt=salt))
+    if aggregates and (results or wh.exists(RECORDS)):
+        refresh_aggregates(spark, wh)
+    return results
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from log_server_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="parse→enrich→route→aggregate DAG")
+    ap.add_argument("--pages-dir", help="dir of pages parquet parts")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--generate", type=int, default=0, help="generate N synthetic pages first")
+    ap.add_argument("--data-dir", default="/tmp/lss_data")
+    ap.add_argument("--batch-files", type=int, default=4)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--master", default=None)
+    a = ap.parse_args()
+
+    pages_dir = a.pages_dir
+    if a.generate:
+        from log_server_spark.datagen import write_dataset
+
+        write_dataset(a.data_dir, n=a.generate)
+        pages_dir = os.path.join(a.data_dir, "pages")
+
+    sp = get_spark(master=a.master, app_name="lss-pipeline")
+    res = run_pipeline(sp, pages_dir, a.warehouse, batch_files=a.batch_files, salt=a.salt)
+    for r in res:
+        print(f"{r.batch}: added={r.added} duplicates={r.duplicates} errors={r.errors}")
+    sp.stop()
