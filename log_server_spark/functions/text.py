@@ -1,0 +1,117 @@
+"""Text-analysis functions for the training-data pipeline — all JVM-side.
+
+Every function here returns Column expressions built from
+``pyspark.sql.functions`` only (whole-stage codegen, no Python), so they run
+at scan speed on a 100 TB documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/marker language-ID
+# heuristic (public-knowledge frequency lists)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "es", "los"],
+    "ru": ["и", "в", "не", "на", "это"],
+}
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+
+def words(col) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.col(col) if isinstance(col, str) else col, r"\s+")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count; empty string counts as 0 tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Rough subword token estimate: count of GPT-2-style pretokenizer
+    matches (word pieces, numbers, punctuation runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-zА-Яа-я]+|\d+|[^\sA-Za-zА-Яа-я\d]+"), 0))
+
+
+def _count_re(c: Column, pattern: str) -> Column:
+    return F.length(c) - F.length(F.regexp_replace(c, pattern, ""))
+
+
+def quality_features(col) -> dict[str, Column]:
+    """Length / punctuation / digit / uppercase / stopword quality signals.
+
+    Ratios are NULL-safe for empty text (nullif guard — Spark 4 ANSI mode).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    nz = F.nullif(n.cast("double"), F.lit(0.0))
+    toks = token_count(c)
+    stop_hits = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(c)), r"\s+"),
+            lambda w: w.isin(*STOPWORDS_EN),
+        )
+    )
+    return {
+        "n_chars": n,
+        "n_tokens": toks,
+        "punct_ratio": F.round(_count_re(c, r"[.,!?;:]") / nz, 4),
+        "digit_ratio": F.round(_count_re(c, r"[0-9]") / nz, 4),
+        "space_ratio": F.round(_count_re(c, r"\s") / nz, 4),
+        "stopword_ratio": F.round(
+            stop_hits / F.nullif(toks.cast("double"), F.lit(0.0)), 4
+        ),
+        "mean_word_len": F.round(
+            F.length(F.regexp_replace(c, r"\s", "")) / F.nullif(toks.cast("double"), F.lit(0.0)), 4
+        ),
+    }
+
+
+def langid(col) -> Column:
+    """Marker-word language ID: argmax of per-language marker hits.
+
+    Deterministic tie-break by language code order; 'und' when no marker hits.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    toks = F.split(F.trim(c), r"\s+")
+    def _hits(markers):
+        return F.size(F.filter(toks, lambda w: w.isin(*markers)))
+
+    scores = {lang: _hits(markers) for lang, markers in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in sorted(LANG_MARKERS.keys(), reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(col) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(F.encode(normalize_text(col), "UTF-8"))
+
+
+def word_ngrams(col, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (empty if fewer than n words)."""
+    w = words(F.trim(F.col(col) if isinstance(col, str) else col))
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+    )

@@ -1,0 +1,225 @@
+"""Document-level dedup family for training-data pipelines.
+
+Four near/exact-dup strategies over a ``documents(id, text)``-shaped frame,
+each expressed scale-first:
+
+- exact: fingerprint groupBy (one shuffle of (hash, id) pairs only);
+- n-gram Jaccard: explode distinct shingles -> self-equi-join on shingle ->
+  shared-count aggregation (never a cross join; co-partitioned by shingle);
+- MinHash + LSH: k universal-hash minima per doc (one explode + one groupBy),
+  banded bucket join for candidates, exact Jaccard verify on candidates only;
+- SimHash: 64-bit signature via per-bit vote aggregation, near-dups by
+  Hamming distance on bucketed signatures.
+
+All hashing uses Spark's built-in xxhash64 (deterministic across runs and
+clusters) — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from log_server_spark.functions.text import fingerprint, word_ngrams, words
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """First-wins exact dedup by normalized-text fingerprint.
+
+    Returns one row per distinct content: (fp, keeper id, dup_count).
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keeper_id"), (F.count("*") - 1).alias("dup_count"))
+    )
+
+
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All pairs (a < b) with word-n-gram Jaccard >= threshold.
+
+    Shuffle profile: one explode + equi-join keyed by shingle (skew-prone
+    shingles are rare after array_distinct; AQE skew-join covers the rest),
+    then one aggregation keyed by the pair.
+    """
+    sh = _shingle_frame(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per doc.
+
+    h_i(x) = (a_i * (xxhash64(x) mod p) + b_i) mod p over a Mersenne prime —
+    the classic universal-hash family; coefficients are fixed constants so
+    signatures are stable across runs/clusters. Docs with no shingles are
+    dropped (too short to near-dup meaningfully).
+    """
+    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    base = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * (1103515245 * (i + 1) % MERSENNE_P) + 1  # odd multiplier
+        b = (12345 + 987_654_321 * i) % MERSENNE_P
+        aggs.append(
+            F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
+        )
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact n-gram Jaccard.
+
+    Scale shape: candidates come from an equi-join on (band index, band key)
+    — docs only meet if an entire band of minima matches — so the pair count
+    is output-sensitive, never O(n^2). Verification joins candidates back to
+    the shingle frame (semi-join pruned).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", *[F.col(f"mh_{bi * rows_per_band + j}") for j in range(rows_per_band)]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.select(F.col("id").alias("id_a"), "band", "key")
+    right = banded.select(F.col("id").alias("id_b"), "band", "key")
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify on the candidate set only
+    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        candidates.join(a, "id_a")
+        .join(b.withColumnRenamed("shingle", "shingle_b"), "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over word hashes."""
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.trim(F.col(text_col)))).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    votes = w.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(63)  # bit 63 is the sign bit; skip to stay ANSI-safe
+        ]
+    )
+    sim = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        ),
+        range(63),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidates via 4-block bucketing (pigeonhole: any pair within Hamming 3
+    agrees on at least one of 4 x 16-bit blocks), verified by popcount.
+    """
+    sig = simhash64(df, id_col, text_col)
+    blocks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    left = blocks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "key")
+    right = blocks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "key")
+    cand = (
+        left.join(right, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

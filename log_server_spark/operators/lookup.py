@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 def canonical_id(col):
     """RecordId.parse coercion: numeric strings render as the int."""
-    as_int = F.try_cast(col, "int")
+    as_int = col.try_cast("int")
     return F.when(as_int.isNotNull(), as_int.cast("string")).otherwise(col)
 
 

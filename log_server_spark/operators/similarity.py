@@ -1,0 +1,138 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH scale path.
+
+Inputs are ``(id, embedding array<float>)`` frames. All math is promoted to
+double (float32 inputs convert exactly) so results match any double-math
+oracle bit-for-bit before rounding.
+
+Scale notes:
+- brute force broadcasts the (small) query side and computes dot products
+  JVM-side with zip_with/aggregate inside codegen — a map-only stage over
+  the corpus followed by a top-k-per-query aggregation (no global sort);
+- the LSH variant buckets the corpus by random-hyperplane sign bits
+  (fixed deterministic planes), probing only matching buckets — the
+  classic SimHash-for-cosine scheme; recall is tunable via bits/probes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Returns (query_id, neighbor_id, rank, cosine_r) with cosine rounded to
+    4 dp; rank ties broken by neighbor id (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine_r"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold (exact, self-join)."""
+    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")).withColumn(
+        "n", _norm(F.col("v"))
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+    )
+
+
+_LSH_SEED = 0x5EED
+
+
+def _hyperplanes(dim: int, bits: int) -> np.ndarray:
+    rng = np.random.default_rng(_LSH_SEED)
+    return rng.standard_normal((dim, bits))
+
+
+def lsh_bucket_ids(df: DataFrame, dim: int, bits: int = 12, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Attach a random-hyperplane LSH bucket id (sign-bit signature).
+
+    The matmul runs as one Arrow-batched pandas UDF (vectorized numpy) —
+    batch_size x dim @ dim x bits per batch, no per-row Python.
+    """
+    planes = _hyperplanes(dim, bits)
+
+    @F.pandas_udf(LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim) float32
+        signs = (m.astype(np.float64) @ planes) > 0  # (batch, bits)
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return df.withColumn("lsh_bucket", _bucket(F.col(vec_col))).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket"
+    )
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket, exact cosine inside.
+
+    At 10^9+ vectors this turns an all-pairs scan into an equi-join keyed by
+    bucket (expected bucket size n/2^bits); recall improves with multi-probe
+    or fewer bits. Same output shape as cosine_topk.
+    """
+    qb = lsh_bucket_ids(queries, dim, bits, id_col, vec_col).withColumnsRenamed(
+        {"id": "query_id", "v": "qv"}
+    )
+    cb = lsh_bucket_ids(corpus, dim, bits, id_col, vec_col).withColumnsRenamed(
+        {"id": "neighbor_id", "v": "cv"}
+    )
+    joined = cb.join(F.broadcast(qb), "lsh_bucket").withColumn(
+        "cosine",
+        _dot(_as_double(F.col("qv")), _as_double(F.col("cv")))
+        / (_norm(_as_double(F.col("qv"))) * _norm(_as_double(F.col("cv")))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine_r"))
+    )

@@ -1,0 +1,273 @@
+"""Training-data-pipeline queries (dedup / similarity / text / multimodal).
+
+Same contract as queries.py: Spark impl + DuckDB oracle with identical
+column names. Entries whose semantics are not reasonably SQL-expressible
+(MinHash-LSH, SimHash, hyperplane-LSH ANN) carry ``None`` oracles — the
+driver records a rows-only check; their correctness is covered by pytest
+(planted near-dup recall vs the exact operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_server_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    fingerprint,
+    langid,
+    quality_features,
+    token_count,
+)
+from log_server_spark.operators.dedup_text import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from log_server_spark.operators.multimodal import extract_features, media_from_documents
+from log_server_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- text analysis ---------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_q"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["space_ratio"].alias("space_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_word_len"].alias("mean_word_len"),
+    )
+
+
+_SW = ",".join(f"'{w}'" for w in STOPWORDS_EN)
+SQL_QUALITY_SCORE = rf"""
+SELECT doc_id,
+  length(text) AS n_chars_q,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / nullif(length(text), 0)::DOUBLE, 4) AS punct_ratio,
+  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / nullif(length(text), 0)::DOUBLE, 4) AS digit_ratio,
+  round((length(text) - length(regexp_replace(text, '\s', '', 'g'))) / nullif(length(text), 0)::DOUBLE, 4) AS space_ratio,
+  round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x IN ({_SW})))
+        / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0)::DOUBLE, 4) AS stopword_ratio,
+  round(length(regexp_replace(text, '\s', '', 'g'))
+        / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0)::DOUBLE, 4) AS mean_word_len
+FROM documents
+"""
+
+
+def q_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid("text").alias("lang_guess"))
+
+
+def _langid_sql() -> str:
+    toks = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+    scores = {
+        lang: f"len(list_filter({toks}, x -> x IN ({','.join(repr(m) for m in ms)})))"
+        for lang, ms in sorted(LANG_MARKERS.items())
+    }
+    best = "greatest(" + ",".join(scores.values()) + ")"
+    # mirror the Spark when-chain: iterate langs reverse-sorted, so the
+    # FIRST lang in sort order wins ties (the last .when wrapping wins)
+    expr = "'und'"
+    for lang in sorted(LANG_MARKERS.keys(), reverse=True):
+        expr = f"CASE WHEN {scores[lang]} = {best} AND {best} > 0 THEN '{lang}' ELSE {expr} END"
+    return f"SELECT doc_id, {expr} AS lang_guess FROM documents"
+
+
+SQL_LANGID = _langid_sql()
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# --- dedup family ----------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "fp", F.col("keeper_id").alias("keeper_id"), F.col("dup_count").alias("dup_count")
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keeper_id, count(*) - 1 AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.3
+    ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+SQL_DEDUP_NGRAM_JACCARD = r"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared,
+       round(shared / (x.sz + y.sz - shared)::DOUBLE, 4) AS jaccard
+FROM shared JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE round(shared / (x.sz + y.sz - shared)::DOUBLE, 4) >= 0.3
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    # rows-only: LSH banding not SQL-expressible; verified in pytest against
+    # the exact jaccard operator (recall on >=0.7 pairs)
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=8, shingle_n=3, threshold=0.5,
+    ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # rows-only: bit-vote signature; verified in pytest
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+    ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+# --- embedding similarity ---------------------------------------------------
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=3
+    )
+
+
+SQL_EMBEDDING_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+     s AS (SELECT qid, nid,
+        list_sum(list_transform(generate_series(1, len(qe)),
+                 i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS dot,
+        sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        FROM q, c)
+SELECT qid AS query_id, nid AS neighbor_id,
+       row_number() OVER (PARTITION BY qid ORDER BY dot/(nq*nc) DESC, nid) AS rank,
+       round(dot/(nq*nc), 4) AS cosine_r
+FROM s QUALIFY rank <= 3
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+     p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_sum(list_transform(generate_series(1, len(a.e)),
+                 i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM v a, v b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 4) AS cosine_r FROM p WHERE cos >= 0.45
+"""
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    # rows-only: approximate (hyperplane LSH); recall vs exact checked in pytest
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), dim=64, k=3, bits=6
+    )
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary payload metadata, fully JVM-side (octet length + sha2)."""
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    # rows-only: decode kernel is a deterministic stub (no codec libs here);
+    # plumbing (schema/batching/UDF signature) is the thing under test
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+REGISTRY_ML: dict[str, tuple] = {
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "langid": (q_langid, SQL_LANGID),
+    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_ann_lsh": (q_embedding_ann_lsh, None),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_features": (q_multimodal_features, None),
+}
