@@ -1,0 +1,199 @@
+"""Benchmark harness.
+
+Two measurements, one JSON line on stdout:
+
+1. **Scaling evidence** (BASELINE.md protocol): the full
+   parse->dedup->enrich->route->aggregate DAG over a deterministic synthetic
+   pages table sized to the scale factor, run at ``local[N]`` and
+   ``local[4N]`` (default 8 and 32) on byte-identical input. Reports
+   docs/sec + MB/sec at each level and efficiency =
+   throughput(4N) / (4 * throughput(N)).
+2. **Headline queries** at ``$SPARK_GRAFT_SF_DIR`` (default
+   /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``: per-query wall
+   seconds, forced via the noop sink (no driver collect).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+LSS_BENCH_SCALING=0 to skip phase 1, LSS_BENCH_PAGES to override page count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from log_server_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = "/tmp/lss_bench_cache"
+
+HEADLINE = [
+    "flagship_route_aggregate",
+    "pricing_summary",
+    "windowed_agg",
+    "enrich_broadcast",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "token_count",
+    "quality_score",
+    "langid",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+    "embedding_neardup",
+    "multimodal_meta",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _pages_dataset(sf: float) -> tuple[str, int, int]:
+    """Deterministic cached pages table sized to the scale factor."""
+    from log_server_spark.datagen import write_dataset
+
+    n = int(os.environ.get("LSS_BENCH_PAGES", str(max(2000, int(2_400_000 * sf)))))
+    out = os.path.join(CACHE, f"pages_s42_n{n}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        write_dataset(out, seed=42, n=n, num_files=64)
+        open(marker, "w").write("ok")
+    total_bytes = sum(
+        os.path.getsize(os.path.join(out, "pages", f))
+        for f in os.listdir(os.path.join(out, "pages"))
+    )
+    return out, n, total_bytes
+
+
+def _run_dag(master: str, data_dir: str) -> float:
+    """Run the DAG at ``master`` in a fresh subprocess and return wall secs.
+
+    A subprocess per parallelism level is mandatory: stopping a SparkSession
+    does NOT stop the py4j JVM, so a second in-process session would inherit
+    the first level's heap size and thread pool — the two levels must not
+    share a JVM for the comparison to be fair.
+    """
+    import subprocess
+
+    env = dict(os.environ)
+    # shuffle/spill on tmpfs: benchmark the engine, not the VM's virtio disk
+    env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/lss_spark_local")
+    os.makedirs(env["SPARK_LOCAL_DIRS"], exist_ok=True)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--dag-only", master, data_dir],
+        capture_output=True, text=True, check=True, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def _run_dag_inprocess(master: str, data_dir: str) -> float:
+    """Steady-state DAG wall time: a small warm-up run first (JVM JIT +
+    python-worker pool spin-up — costs a long-running cluster job pays once),
+    then the measured full run on a fresh warehouse."""
+    import glob
+
+    from log_server_spark.plans.pipeline import run_pipeline
+
+    spark = get_spark(master=master, app_name=f"lss-bench-{master}")
+    tag = master.replace("[", "_").replace("]", "")
+    bench_root = os.environ.get("LSS_BENCH_ROOT", "/dev/shm/lss_bench")
+    os.makedirs(bench_root, exist_ok=True)
+    warm_wh = f"{bench_root}/warm_{tag}"
+    wh = f"{bench_root}/wh_{tag}"
+    shutil.rmtree(warm_wh, ignore_errors=True)
+    shutil.rmtree(wh, ignore_errors=True)
+
+    pages_dir = os.path.join(data_dir, "pages")
+    n_files = len(glob.glob(os.path.join(pages_dir, "*.parquet")))
+
+    # spawn the full python-worker pool up front (a long-running cluster job
+    # pays this once): one trivial Arrow stage across every core
+    import pandas as pd  # noqa: F401
+
+    cores = int(master.split("[")[1].rstrip("]"))
+    spark.range(cores * 4).repartition(cores * 2).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    warm = max(1, n_files // 16)
+    run_pipeline(
+        spark, pages_dir, warm_wh, batch_files=warm, salt=4,
+        resume=False, aggregates=True, max_batches=1,
+    )
+
+    best = float("inf")
+    reps = int(os.environ.get("LSS_BENCH_REPS", "2"))
+    for _ in range(reps):
+        shutil.rmtree(wh, ignore_errors=True)
+        t0 = time.time()
+        run_pipeline(spark, pages_dir, wh, batch_files=n_files, salt=16)
+        best = min(best, time.time() - t0)
+    spark.stop()
+    shutil.rmtree(warm_wh, ignore_errors=True)
+    shutil.rmtree(wh, ignore_errors=True)
+    return best
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    result: dict = {"metric": "headline_suite_wall_seconds", "unit": "sec", "sf": sf}
+
+    scaling = {}
+    if os.environ.get("LSS_BENCH_SCALING", "1") != "0":
+        data_dir, n_pages, total_bytes = _pages_dataset(sf)
+        lo = int(os.environ.get("LSS_SCALE_LO", str(max(1, CPUS // 4))))
+        hi = int(os.environ.get("LSS_SCALE_HI", str(CPUS)))
+        t_lo = _run_dag(f"local[{lo}]", data_dir)
+        t_hi = _run_dag(f"local[{hi}]", data_dir)
+        thr_lo, thr_hi = n_pages / t_lo, n_pages / t_hi
+        scaling = {
+            "pages": n_pages,
+            "input_mb": round(total_bytes / 1e6, 1),
+            f"local[{lo}]": {
+                "seconds": round(t_lo, 2),
+                "docs_per_sec": round(thr_lo, 1),
+                "mb_per_sec": round(total_bytes / 1e6 / t_lo, 2),
+            },
+            f"local[{hi}]": {
+                "seconds": round(t_hi, 2),
+                "docs_per_sec": round(thr_hi, 1),
+                "mb_per_sec": round(total_bytes / 1e6 / t_hi, 2),
+            },
+            "efficiency": round(thr_hi / (4.0 * thr_lo), 3),
+        }
+        result["scaling"] = scaling
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="lss-bench-queries")
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    result["queries"] = times
+    result["value"] = round(sum(times.values()), 3)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) == 4 and sys.argv[1] == "--dag-only":
+        print(_run_dag_inprocess(sys.argv[2], sys.argv[3]))
+    else:
+        main()

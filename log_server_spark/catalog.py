@@ -50,6 +50,31 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
 
+    def write_small(self, rows: list[tuple], schema_ddl: str, name: str) -> None:
+        """Append a tiny table (lineage/metrics rows) driver-side via pyarrow.
+
+        A 2-row bookkeeping append costs ~3 s as a Spark job in local mode
+        (job scheduling + committer); pyarrow writes it in milliseconds. The
+        files are plain parquet parts, so ``read`` sees them like any other.
+        """
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _TYPES = {"string": pa.string(), "long": pa.int64(), "double": pa.float64()}
+        fields = []
+        for part in schema_ddl.split(","):
+            col, typ = part.strip().rsplit(" ", 1)
+            fields.append(pa.field(col, _TYPES[typ]))
+        schema = pa.schema(fields)
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        tbl = pa.table({f.name: pa.array(list(c), f.type) for f, c in zip(schema, cols)})
+        d = self.path(name)
+        os.makedirs(d, exist_ok=True)
+        fn = os.path.join(d, f"part-{_time.time_ns():020d}.parquet")
+        pq.write_table(tbl, fn)
+
     def drop(self, name: str) -> None:
         p = self.path(name)
         if os.path.isdir(p):

@@ -54,10 +54,20 @@ def _fmt(dt: datetime) -> str:
     return dt.strftime("%Y-%m-%d %H:%M:%S")
 
 
-def _record(ts: datetime, table: str, rid: int | None, op: str, body_words: list[str], ru: bool) -> str:
+def _body_pool(rng: np.random.Generator, size: int = 512, mean_words: int = 160) -> list[str]:
+    """Deterministic pool of page bodies (~1-3 KB each — Common-Crawl-ish
+    text volume so parse/hash compute, not per-row overhead, dominates)."""
+    pool = []
+    for _ in range(size):
+        n_words = int(rng.integers(mean_words // 2, mean_words * 2))
+        idx = rng.integers(0, len(_WORDS), size=n_words)
+        pool.append(" ".join(_WORDS[i] for i in idx))
+    return pool
+
+
+def _record(ts: datetime, table: str, rid: int | None, op: str, body: str, ru: bool) -> str:
     idtok = f" id:{rid}" if rid is not None else ""
     header = f"---- {_fmt(ts)} level:INFO table:{table}{idtok} op:{op}"
-    body = " ".join(body_words)
     if ru:
         body = body + " " + " ".join(_RU_WORDS[:4])
     return f"{header}\n{body}\nstatus=done bytes={len(body)}"
@@ -69,10 +79,10 @@ def gen_pages(seed: int = 42, n: int = 10_000, hot_pct: float = 0.30) -> pa.Tabl
 
     hot = rng.random(n) < hot_pct
     dom_idx = np.where(hot, 0, 1 + rng.integers(0, N_DOMAINS - 1, size=n))
-    lang_idx = rng.integers(0, 10**9, size=n)  # reserved draw, keeps stream stable
     lang_choice = rng.choice(len(LANGS), size=n, p=_LANG_PROBS)
     ts_off = rng.integers(0, WINDOW_SECONDS, size=n)
-    word_idx = rng.integers(0, len(_WORDS), size=(n, 6))
+    pool = _body_pool(rng)
+    body_idx = rng.integers(0, len(pool), size=n)
     rid_draw = rng.integers(1, 1_000_000, size=n)
     op_idx = rng.integers(0, len(OPS), size=n)
     tbl_idx = rng.integers(0, len(TABLES), size=n)
@@ -104,22 +114,22 @@ def gen_pages(seed: int = 42, n: int = 10_000, hot_pct: float = 0.30) -> pa.Tabl
             table = "ros." + table
         rid = None if i % 7 == 2 else int(rid_draw[i])
         op = OPS[op_idx[i]]
-        words = [_WORDS[w] for w in word_idx[i]]
+        body = f"{pool[body_idx[i]]} uniq{i}"
 
         if i % 23 == 7:
             # malformed: header only, no newline -> err_no_newline
             html_s = f"---- {_fmt(ts)} level:WARN table:{table} lonely-header-no-body"
         elif i % 23 == 11:
             # malformed: corrupt date slice -> err_bad_date
-            html_s = f"---- not-a-valid-datetime! table:{table} id:{rid or 1}\n" + " ".join(words)
+            html_s = f"---- not-a-valid-datetime! table:{table} id:{rid or 1}\n" + body
         elif i % 23 == 15:
             # malformed: no table tag -> err_missing_table
-            html_s = f"---- {_fmt(ts)} level:INFO id:{rid or 1} op:{op}\n" + " ".join(words)
+            html_s = f"---- {_fmt(ts)} level:INFO id:{rid or 1} op:{op}\n" + body
         else:
-            recs = [_record(ts, table, rid, op, words, is_ru)]
+            recs = [_record(ts, table, rid, op, body, is_ru)]
             if i % 5 == 0:
                 recs.append(
-                    _record(ts + timedelta(seconds=60), table, rid, OPS[(op_idx[i] + 1) % len(OPS)], words[::-1], is_ru)
+                    _record(ts + timedelta(seconds=60), table, rid, OPS[(op_idx[i] + 1) % len(OPS)], pool[(body_idx[i] + 1) % len(pool)], is_ru)
                 )
             html_s = "\n\n".join(recs)
 

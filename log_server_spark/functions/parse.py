@@ -26,7 +26,7 @@ from log_server_spark.parse_ref import OK, parse_page
 PARSED_SCHEMA = (
     "url string, warc_ts timestamp, lang string, seq int, status string, "
     "table string, record_id string, ts_millis long, text string, "
-    "data binary, record_hash int"
+    "n_bytes long, record_hash int"
 )
 
 
@@ -56,6 +56,10 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 datas.append(r.text.encode("utf-8"))
         ts_arr = np.array([t if t is not None else 0 for t in tsms], dtype=np.int64)
         hashes = record_hash_batch(datas, ts_arr)
+        # the UTF-8 payload bytes (`data` in the reference record) are NOT
+        # carried downstream — `text` is the same content (UTF-8 encoding of
+        # a unicode string is unique), so shipping both would double every
+        # shuffle/persist/write; we keep the byte length for stats (A1)
         out = pd.DataFrame(
             {
                 "url": urls,
@@ -67,7 +71,7 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "record_id": rids,
                 "ts_millis": pd.array(tsms, dtype="Int64"),
                 "text": texts,
-                "data": datas,
+                "n_bytes": pd.array([len(d) for d in datas], dtype="int64"),
                 "record_hash": pd.array(hashes, dtype="Int32"),
             }
         )

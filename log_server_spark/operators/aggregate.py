@@ -26,7 +26,7 @@ def sink_stats(routed: DataFrame) -> DataFrame:
         F.countDistinct("table", "record_id", "record_hash").alias("n_keys"),
         F.min("ts_millis").alias("min_ts"),
         F.max("ts_millis").alias("max_ts"),
-        F.sum(F.length("data")).alias("total_bytes"),
+        F.sum("n_bytes").alias("total_bytes"),
     )
 
 

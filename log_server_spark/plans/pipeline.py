@@ -99,6 +99,7 @@ def run_batch(
     lang_lookup: DataFrame,
     domain_lookup: DataFrame,
     salt: int = 8,
+    partition_cols: tuple[str, ...] = ("sink",),
 ) -> BatchResult:
     # torn-write recovery FIRST: a batch dir without a lineage row is a
     # partial write from a crashed run. It must be dropped before any
@@ -109,9 +110,20 @@ def run_batch(
     if os.path.isdir(batch_dir):
         shutil.rmtree(batch_dir)
 
+    # split sizing: the parse stage is python-bound, so the scan must yield
+    # >= ~3 tasks per core or cores sit idle (the 128 MB default + 4 MB
+    # open-cost packs small files into a handful of splits). Runtime SQL
+    # confs, so this tunes per batch without session restart; on a real
+    # cluster with ~1 GB input files the default would already be fine.
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    target_tasks = spark.sparkContext.defaultParallelism * 3
+    split = max(1 << 20, min(128 << 20, total_bytes // max(1, target_tasks)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
+
     pages = spark.read.parquet(*files)
     parsed = parse_pages(pages).withColumn("day", F.to_date("warc_ts"))
-    parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    parsed.persist(getattr(StorageLevel, os.environ.get("LSS_PERSIST_LEVEL", "MEMORY_AND_DISK")))
 
     ok = parsed.filter(F.col("status") == "ok")
     errors = parsed.filter(F.col("status") != "ok")
@@ -123,12 +135,16 @@ def run_batch(
         enrich(kept.unionByName(errors), lang_lookup, domain_lookup)
     ).withColumn("batch", F.lit(batch_id))
 
-    # defuse hot-domain skew: spread each (sink, day) across `salt` reducers
+    # defuse hot-sink skew: spread each output partition across `salt`
+    # reducers. Keeping reducer keys aligned with the output partition
+    # columns bounds the file count at |dirs| * salt (a hash-partitioned
+    # shuffle that ignores the output layout would make every reducer write
+    # every directory — thousands of tiny files).
     out = routed.repartition(
-        F.col("sink"), F.col("day"), F.pmod(F.hash("url"), F.lit(salt))
+        *[F.col(c) for c in partition_cols], F.pmod(F.hash("url"), F.lit(salt))
     )
 
-    out.write.mode("append").partitionBy("batch", "sink", "day").parquet(wh.path(RECORDS))
+    out.write.mode("append").partitionBy("batch", *partition_cols).parquet(wh.path(RECORDS))
 
     # ingest counters (A4) — read back the written batch (cheap, column-pruned)
     written = wh.read(RECORDS).filter(F.col("batch") == batch_id)
@@ -147,17 +163,16 @@ def run_batch(
     n_pages = pages.count()
     parsed.unpersist()
 
-    metrics = spark.createDataFrame(
+    wh.write_small(
         [(batch_id, n_pages, counts.get("added", 0), n_dups, counts.get("errors", 0), time.time())],
         "batch string, n_pages long, added long, duplicates long, errors long, committed_at double",
+        METRICS_INGEST,
     )
-    wh.write(metrics, METRICS_INGEST, mode="append")
-
-    lineage = spark.createDataFrame(
+    wh.write_small(
         [(batch_id, u, "committed", n_pages, time.time()) for u in files],
         LINEAGE_SCHEMA,
+        LINEAGE,
     )
-    wh.write(lineage, LINEAGE, mode="append")
     return BatchResult(batch_id, files, counts.get("added", 0), n_dups, counts.get("errors", 0))
 
 
@@ -178,7 +193,13 @@ def run_pipeline(
     salt: int = 8,
     resume: bool = True,
     aggregates: bool = True,
+    partition_cols: tuple[str, ...] = ("sink",),
+    max_batches: int | None = None,
 ) -> list[BatchResult]:
+    """``partition_cols`` is the sink-table layout. Default ``("sink",)``;
+    add ``"day"`` for date-pruned layouts when per-partition volume is large
+    enough that dir_count * salt files stay near the target file size (the
+    right call at the 100 TB design point, wasteful below ~10 GB/day)."""
     wh = Warehouse(warehouse_root, spark)
     base = os.path.dirname(pages_dir.rstrip("/"))
     lang_lookup = spark.read.parquet(os.path.join(base, "lang_lookup.parquet"))
@@ -195,7 +216,14 @@ def run_pipeline(
     for batch_id, files in batches:
         if batch_id in done:
             continue
-        results.append(run_batch(spark, wh, batch_id, files, lang_lookup, domain_lookup, salt=salt))
+        if max_batches is not None and len(results) >= max_batches:
+            break
+        results.append(
+            run_batch(
+                spark, wh, batch_id, files, lang_lookup, domain_lookup,
+                salt=salt, partition_cols=partition_cols,
+            )
+        )
     if aggregates and (results or wh.exists(RECORDS)):
         refresh_aggregates(spark, wh)
     return results

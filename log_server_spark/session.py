@@ -35,6 +35,12 @@ def get_spark(
     cores). On a real cluster, pass ``None`` and let spark-submit set the
     master; every config here remains valid at 1000 executors.
     """
+    # one Spark core == one compute thread: BLAS/OMP pools inside the N
+    # python workers otherwise idle-spin N*ncores threads and the kernel
+    # drowns in scheduling/TLB churn (observed: sys time >> user time)
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

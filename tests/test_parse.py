@@ -140,11 +140,11 @@ def test_spark_parse_matches_reference_parser(spark, tmp_path):
     pq.write_table(tbl, str(tmp_path / "pages.parquet"))
     df = spark.read.parquet(str(tmp_path / "pages.parquet"))
     got = sorted(
-        (r["url"], r["seq"], r["status"], r["table"], r["record_id"], r["ts_millis"], bytes(r["data"]))
+        (r["url"], r["seq"], r["status"], r["table"], r["record_id"], r["ts_millis"], r["text"], r["n_bytes"])
         for r in parse_pages(df).collect()
     )
     want = sorted(
-        (url, r.seq, r.status, r.table or "", r.record_id or "", r.ts_millis, r.text.encode("utf-8"))
+        (url, r.seq, r.status, r.table or "", r.record_id or "", r.ts_millis, r.text, len(r.text.encode("utf-8")))
         for url, html in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist())
         for r in parse_page(html)
     )
