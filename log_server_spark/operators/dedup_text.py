@@ -191,9 +191,14 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Candidates via 4-block bucketing (pigeonhole: any pair within Hamming 3
-    agrees on at least one of 4 x 16-bit blocks), verified by popcount.
+    Candidate generation is exact by pigeonhole: the 63-bit signature is cut
+    into ``max_hamming + 1`` blocks, so any pair within the radius agrees on
+    at least one whole block; candidates equi-join on (block idx, block
+    bits) and are verified by popcount. Block count scales with the radius —
+    wider radius = more blocks = more candidates, never missed pairs.
     """
+    n_blocks = max_hamming + 1
+    width = 63 // n_blocks + 1
     sig = simhash64(df, id_col, text_col)
     blocks = sig.select(
         "id",
@@ -203,9 +208,11 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftrightunsigned("simhash", width * i)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("bk"),

@@ -110,17 +110,31 @@ def lsh_cosine_topk(
     dim: int,
     k: int = 5,
     bits: int = 8,
+    probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, exact cosine inside.
+    """Approximate top-k: probe the query's LSH bucket (plus all buckets
+    within Hamming distance ``probes``), exact cosine inside.
 
     At 10^9+ vectors this turns an all-pairs scan into an equi-join keyed by
-    bucket (expected bucket size n/2^bits); recall improves with multi-probe
-    or fewer bits. Same output shape as cosine_topk.
+    bucket; expected candidate fraction = (sum_{i<=probes} C(bits,i)) /
+    2^bits — the recall/cost dial. Same output shape as cosine_topk.
     """
     qb = lsh_bucket_ids(queries, dim, bits, id_col, vec_col).withColumnsRenamed(
         {"id": "query_id", "v": "qv"}
+    )
+    flips = [0]  # xor masks for buckets within the probe radius
+    if probes >= 1:
+        flips += [1 << b for b in range(bits)]
+    if probes >= 2:
+        flips += [(1 << a) | (1 << b) for a in range(bits) for b in range(a + 1, bits)]
+    qb = qb.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(*[F.col("lsh_bucket").bitwiseXOR(F.lit(m).cast("long")) for m in flips])
+        ).alias("lsh_bucket"),
     )
     cb = lsh_bucket_ids(corpus, dim, bits, id_col, vec_col).withColumnsRenamed(
         {"id": "neighbor_id", "v": "cv"}

@@ -222,7 +222,7 @@ def q_embedding_ann_lsh(spark, sf_dir):
     # rows-only: approximate (hyperplane LSH); recall vs exact checked in pytest
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(
-        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), dim=64, k=3, bits=6
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), dim=64, k=3, bits=6, probes=2
     )
 
 

@@ -1,0 +1,129 @@
+"""Structured Streaming restatement of the ingest DAG.
+
+The reference is a micro-batch system in disguise (SURVEY.md §2.9): a writer
+rotates ``current`` -> ``*.saved`` every 5 minutes (the completeness
+watermark, LogWriterClient.scala:26-27) and `update` ingests whatever saved
+files exist, deduplicating idempotently (BigStorage.scala:316-333). The
+streaming mapping:
+
+- file source watching the pages directory == the ``*.saved`` watch (T2);
+- ``withWatermark(warc_ts) + dropDuplicatesWithinWatermark`` == the
+  hash-dedup with the reference's timestamp-range probe gate
+  (BigStorage.scala:30) bounding state instead of every-segment probes (T3);
+- checkpointed ``writeStream`` to a partitioned file sink == segment append
+  with crash recovery; Spark's file-sink commit log IS the lineage table (T4);
+- windowed aggregates run as a streaming query over event time (north_star
+  windowed aggs) in update/append mode.
+
+The batch DAG (plans/pipeline.py) stays the primary path per north_rule;
+this module exists because the reference's semantics are genuinely
+streaming-shaped and the engine should expose both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_server_spark.functions.parse import PARSED_SCHEMA, parse_pages
+from log_server_spark.operators.enrich import enrich
+from log_server_spark.operators.route import with_sink
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def streaming_records(
+    spark: SparkSession,
+    pages_dir: str,
+    lang_lookup: DataFrame,
+    domain_lookup: DataFrame,
+    watermark: str = "1 day",
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """pages stream -> parsed/deduped/enriched/routed record stream."""
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+    parsed = (
+        parse_pages(pages)
+        .withColumn("day", F.to_date("warc_ts"))
+        .withWatermark("warc_ts", watermark)  # set ONCE; both branches and
+        # any downstream stateful op (dedup, windowed agg) inherit it
+    )
+    ok = parsed.filter(F.col("status") == "ok").dropDuplicatesWithinWatermark(
+        ["table", "record_id", "record_hash"]
+    )
+    errors = parsed.filter(F.col("status") != "ok")
+    return with_sink(enrich(ok.unionByName(errors), lang_lookup, domain_lookup))
+
+
+def start_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    lang_lookup: DataFrame,
+    domain_lookup: DataFrame,
+    available_now: bool = False,
+    watermark: str = "1 day",
+):
+    """Start the exactly-once streaming ingest into a partitioned file sink.
+
+    ``available_now=True`` drains the current directory contents and stops —
+    the streaming equivalent of one batch `update` run (useful for tests and
+    for catch-up runs); otherwise the query runs continuously.
+    """
+    routed = streaming_records(spark, pages_dir, lang_lookup, domain_lookup, watermark)
+    writer = (
+        routed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("sink", "day")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_windowed_stats(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    lang_lookup: DataFrame,
+    domain_lookup: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    available_now: bool = False,
+):
+    """Streaming per-sink tumbling-window counts (append mode: a window row
+    emits once its watermark passes — late data within the watermark is
+    incorporated, later data is dropped, mirroring T3)."""
+    routed = streaming_records(spark, pages_dir, lang_lookup, domain_lookup, watermark)
+    agg = (
+        routed.groupBy(F.window("warc_ts", window).alias("w"), "sink")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.approx_count_distinct("url").alias("n_urls_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "sink",
+            "n_rows",
+            "n_urls_approx",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

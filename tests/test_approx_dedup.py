@@ -1,0 +1,121 @@
+"""Recall tests for the approximate dedup / ANN operators against their
+exact counterparts — the correctness story for the rows-only queries()
+entries (no SQL oracle exists for LSH banding)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_server_spark.operators.dedup_text import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_neardup_pairs,
+)
+from log_server_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """16 hashes / 8 bands of 2: P(candidate | j=0.8) = 1-(1-j^2)^8 ≈ 0.9997.
+    Every exact pair at jaccard >= 0.8 must be found (this corpus has ~20)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    assert len(exact) >= 5, "fixture should contain strong near-dups"
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=8, shingle_n=3, threshold=0.8
+        ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"}).collect()
+    }
+    missed = exact - approx
+    assert len(missed) / len(exact) <= 0.1, f"LSH missed {missed}"
+    # verification step guarantees no false positives above threshold
+    assert approx <= {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8 - 1e-9).collect()
+    }
+
+
+def test_minhash_jaccard_estimate_quality(docs):
+    """The verified jaccard emitted by the LSH path equals the exact one."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        .withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+        .collect()
+    }
+    for pair, j in got.items():
+        assert abs(exact[pair] - j) < 1e-9
+
+
+def test_simhash_deterministic_and_near_dups_close(docs, spark):
+    sig1 = {r["id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    sig2 = {r["id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    assert sig1 == sig2  # deterministic across runs
+    # strong near-dups (jaccard>=0.9) should sit within small hamming
+    strong = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert strong
+    close = 0
+    for r in strong:
+        h = bin(sig1[r["id_a"]] ^ sig1[r["id_b"]]).count("1")
+        close += h <= 8
+    assert close / len(strong) >= 0.8
+
+
+def test_simhash_neardup_pairs_complete_within_radius(docs):
+    """Blocked candidate generation must equal brute-force at the radius."""
+    sigs = {r["id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 6
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+    }
+    assert got == brute
+
+
+def test_ann_lsh_recall_vs_exact(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, corpus, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_cosine_topk(queries, corpus, dim=64, k=3, bits=6, probes=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall:.2f} too low"
+    # scored cosine values must be exact for returned pairs (no approximation
+    # in the scoring, only in candidate pruning)
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_r"]
+        for r in cosine_topk(queries, corpus, k=500).collect()
+    }
+    for r in lsh_cosine_topk(queries, corpus, dim=64, k=3, bits=6, probes=2).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(exact_scores[key] - r["cosine_r"]) < 1e-9

@@ -1,0 +1,85 @@
+"""Physical-plan quality gates.
+
+The 100 TB story depends on plan shape, not just results: filters must reach
+the parquet scan, small dims must broadcast, scans must prune columns, and
+Python stages must be Arrow-vectorized. These tests pin those properties so
+a refactor can't silently regress them.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_point_lookup_pushes_filter(spark):
+    from log_server_spark.queries import q_point_lookup
+
+    plan = plan_of(q_point_lookup(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "user_id" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_point_lookup_prunes_columns(spark):
+    from log_server_spark.queries import q_point_lookup
+
+    plan = plan_of(q_point_lookup(spark, SF_DIR))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema  # unused wide column never read
+
+
+def test_enrich_uses_broadcast_joins(spark):
+    from log_server_spark.queries import q_enrich_broadcast
+
+    plan = plan_of(q_enrich_broadcast(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_parse_stage_is_arrow_vectorized(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from log_server_spark.datagen import gen_pages
+    from log_server_spark.functions.parse import parse_pages
+
+    pq.write_table(gen_pages(seed=1, n=50), str(tmp_path / "p.parquet"))
+    plan = plan_of(parse_pages(spark.read.parquet(str(tmp_path / "p.parquet"))))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python is banned
+
+
+def test_aggregates_are_partial(spark):
+    from log_server_spark.queries import q_pricing_summary
+
+    plan = plan_of(q_pricing_summary(spark, SF_DIR))
+    # map-side combine: two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_record_hash_udf_is_arrow(spark):
+    from log_server_spark.functions.hashing import with_record_hash
+
+    df = spark.createDataFrame([(b"x", 1)], "data binary, ts_millis long")
+    plan = plan_of(with_record_hash(df))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_flagship_single_scan(spark):
+    from log_server_spark.queries import q_flagship_route_aggregate
+
+    plan = plan_of(q_flagship_route_aggregate(spark, SF_DIR))
+    # routing + aggregation must be one pass over documents, not N re-scans
+    # (each distinct scan gets one "Location:" detail block)
+    assert plan.count("Location:") == 1
