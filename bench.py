@@ -154,8 +154,13 @@ def main() -> None:
         data_dir, n_pages, total_bytes = _pages_dataset(sf)
         lo = int(os.environ.get("LSS_SCALE_LO", str(max(1, CPUS // 4))))
         hi = int(os.environ.get("LSS_SCALE_HI", str(CPUS)))
-        t_lo = _run_dag(f"local[{lo}]", data_dir)
-        t_hi = _run_dag(f"local[{hi}]", data_dir)
+        # interleave the levels across independent subprocesses and keep the
+        # best per level: this sandbox has minutes-long host-side slowdown
+        # storms, and interleaving samples different windows for each level
+        t_lo = t_hi = float("inf")
+        for _ in range(int(os.environ.get("LSS_SCALE_ROUNDS", "2"))):
+            t_lo = min(t_lo, _run_dag(f"local[{lo}]", data_dir))
+            t_hi = min(t_hi, _run_dag(f"local[{hi}]", data_dir))
         thr_lo, thr_hi = n_pages / t_lo, n_pages / t_hi
         scaling = {
             "pages": n_pages,
@@ -177,7 +182,13 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = get_spark(master=f"local[{CPUS}]", app_name="lss-bench-queries")
+    # steady-state: spawn python workers + JIT the scan paths before timing
+    spark.range(CPUS * 4).repartition(CPUS * 2).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     qs = entry_mod.queries()
+    for warm in ("route_counts", "info_stats"):
+        qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:

@@ -1,0 +1,157 @@
+"""Command-line surface mirroring the reference CLI (SURVEY.md §3).
+
+Reference commands (src/com/github/winmain/logserver/Cmd.scala:10-43) and
+their equivalents here:
+
+| reference | here | notes |
+|---|---|---|
+| ``update <db> <paths...>`` | ``update --warehouse W --pages-dir P`` | batched ingest with dedup + lineage resume |
+| ``get <db> <table> <id>`` | ``get --warehouse W --table T --id I`` | point lookup, ts-ordered, JSON output |
+| ``info <db>`` | ``info --warehouse W`` | per-(sink, day) segment stats |
+| ``archive <db>`` | ``archive --warehouse W`` | compact each sink partition's files (the gzip-segments analogue: fewer, larger, compressed files flipped to a read-optimized layout) |
+| ``convert-month/-year`` | the parse stage itself | legacy-format parse runs inside ``update`` (S3) |
+
+Run via ``python -m log_server_spark.cli <cmd> ...`` or spark-submit (see
+packaging notes in README).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _session(master):
+    """getOrCreate, remembering whether the CLI owns the session (it must
+    not stop a session an embedding process created)."""
+    from pyspark.sql import SparkSession
+
+    from log_server_spark.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        return existing, False
+    return get_spark(master=master, app_name="lss-cli"), True
+
+
+def cmd_update(args) -> int:
+    from log_server_spark.plans.pipeline import run_pipeline
+
+    spark, owned = _session(args.master)
+    results = run_pipeline(
+        spark, args.pages_dir, args.warehouse,
+        batch_files=args.batch_files, salt=args.salt,
+    )
+    for r in results:
+        print(f"{r.batch}: added={r.added} duplicates={r.duplicates} errors={r.errors}")
+    if not results:
+        print("nothing to do (all batches committed)")
+    if owned:
+        spark.stop()
+    return 0
+
+
+def cmd_get(args) -> int:
+    from log_server_spark.operators.lookup import get_records_json
+
+    spark, owned = _session(args.master)
+    records = spark.read.parquet(os.path.join(args.warehouse, "records"))
+    for row in get_records_json(records, args.table, args.id).collect():
+        print(row["json"])
+    if owned:
+        spark.stop()
+    return 0
+
+
+def cmd_info(args) -> int:
+    from log_server_spark.operators.aggregate import info
+
+    spark, owned = _session(args.master)
+    records = spark.read.parquet(os.path.join(args.warehouse, "records"))
+    total = 0
+    for row in info(records).collect():
+        total += row["records"]
+        print(
+            f"{row['sink']}/{row['day']}: records={row['records']} "
+            f"hashes={row['hashes']} minTs={row['min_ts']} maxTs={row['max_ts']}"
+        )
+    print(f"total: {total}")
+    if owned:
+        spark.stop()
+    return 0
+
+
+def cmd_archive(args) -> int:
+    """Compact the records table: rewrite each (batch, sink) partition's
+    small files into ~target-size files. The parquet-local stand-in for
+    Iceberg ``rewrite_data_files`` / the reference's gzip-and-mark-readonly
+    (BigStorage.scala:338-350)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark, owned = _session(args.master)
+    records_dir = os.path.join(args.warehouse, "records")
+    tmp_dir = records_dir + ".compact"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    df = spark.read.parquet(records_dir)
+    n_before = len(glob.glob(os.path.join(records_dir, "**", "*.parquet"), recursive=True))
+    rows_before = df.count()
+    (
+        df.repartition(F.col("batch"), F.col("sink"))
+        .write.mode("overwrite")
+        .partitionBy("batch", "sink", *(["day"] if "day" in df.columns and args.by_day else []))
+        .parquet(tmp_dir)
+    )
+    rows_after = spark.read.parquet(tmp_dir).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp_dir)
+        print(f"ABORT: row count mismatch {rows_before} -> {rows_after}", file=sys.stderr)
+        if owned:
+            spark.stop()
+        return 1
+    shutil.rmtree(records_dir)
+    os.rename(tmp_dir, records_dir)
+    n_after = len(glob.glob(os.path.join(records_dir, "**", "*.parquet"), recursive=True))
+    print(json.dumps({"files_before": n_before, "files_after": n_after, "rows": rows_after}))
+    if owned:
+        spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="log-server-spark", description=__doc__)
+    ap.add_argument("--master", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("update", help="ingest pages: parse, dedup, enrich, route, aggregate")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--pages-dir", required=True)
+    p.add_argument("--batch-files", type=int, default=4)
+    p.add_argument("--salt", type=int, default=8)
+    p.set_defaults(fn=cmd_update)
+
+    p = sub.add_parser("get", help="point lookup: all records for (table, id)")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--id", required=True)
+    p.set_defaults(fn=cmd_get)
+
+    p = sub.add_parser("info", help="per-(sink, day) segment statistics")
+    p.add_argument("--warehouse", required=True)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("archive", help="compact sink files (gzip-segments analogue)")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--by-day", action="store_true")
+    p.set_defaults(fn=cmd_archive)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -62,18 +62,46 @@ def cosine_topk(
 def cosine_neardup_pairs(
     df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold (exact, self-join)."""
-    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")).withColumn(
-        "n", _norm(F.col("v"))
-    )
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
-    )
+    """All pairs (a < b) with cosine >= threshold (exact).
+
+    Implementation: one broadcast of the full (id, unit-vector) matrix to
+    every task, then each Arrow batch of rows computes its similarity block
+    against the whole matrix with a single numpy matmul — vectorized exact
+    brute force, linear shuffle-free scan over the corpus. A per-pair
+    expression join is ~100x slower (interpreted higher-order array
+    functions per pair). Right up to ~10^5 vectors per broadcast
+    (dim*4*n bytes); beyond that use the LSH-bucketed path
+    (``lsh_cosine_topk``-style bucketing) — brute force at 10^9 is the
+    wrong algorithm no matter how it is vectorized.
+    """
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def gen(batches):
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        order = np.argsort(all_ids)
+        for pdf in batches:
+            my_ids = pdf["id"].to_numpy(dtype=np.int64)
+            my = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            my = my / np.linalg.norm(my, axis=1, keepdims=True)
+            sims = my @ all_mat.T  # (batch, n)
+            out_a, out_b, out_s = [], [], []
+            for i in range(len(my_ids)):
+                mask = (sims[i] >= threshold) & (all_ids > my_ids[i])
+                idx = np.nonzero(mask)[0]
+                out_a.extend([my_ids[i]] * len(idx))
+                out_b.extend(all_ids[idx])
+                out_s.extend(np.round(sims[i][idx], 4))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine_r": out_s})
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return base.mapInPandas(gen, schema="id_a long, id_b long, cosine_r double")
 
 
 _LSH_SEED = 0x5EED
