@@ -178,3 +178,26 @@ def test_ingest_metrics_sum(spark, warehouse):
         assert rows[res.batch]["added"] == res.added
         assert rows[res.batch]["duplicates"] == res.duplicates
         assert rows[res.batch]["errors"] == res.errors
+
+
+def test_salting_does_not_change_results(spark, dataset, tmp_path_factory):
+    """Skew knob (SURVEY §5): hot-domain input must produce identical final
+    state with and without salting; salting only spreads reducer load."""
+    import glob
+
+    pages = os.path.join(dataset, "pages")
+    whs = {}
+    for salt in (1, 16):
+        whdir = str(tmp_path_factory.mktemp(f"salt{salt}"))
+        run_pipeline(spark, pages, whdir, batch_files=6, salt=salt, aggregates=False)
+        whs[salt] = whdir
+    key = lambda r: (r["table"], r["record_id"], r["ts_millis"] or -1, r["seq"], r["url"], r["sink"])
+    a = sorted(key(r) for r in spark.read.parquet(os.path.join(whs[1], RECORDS)).collect())
+    b = sorted(key(r) for r in spark.read.parquet(os.path.join(whs[16], RECORDS)).collect())
+    assert a == b
+    # at test scale AQE coalesces the tiny shuffle partitions, so file-count
+    # spreading is not observable here; the semantic equality above is the
+    # invariant (load-balance evidence lives in the bench at 240k+ pages)
+    def nfiles(wh):
+        return len(glob.glob(os.path.join(wh, RECORDS, "**", "*.parquet"), recursive=True))
+    assert nfiles(whs[16]) >= nfiles(whs[1])
