@@ -158,7 +158,7 @@ def main() -> None:
         # best per level: this sandbox has minutes-long host-side slowdown
         # storms, and interleaving samples different windows for each level
         t_lo = t_hi = float("inf")
-        for _ in range(int(os.environ.get("LSS_SCALE_ROUNDS", "2"))):
+        for _ in range(int(os.environ.get("LSS_SCALE_ROUNDS", "3"))):
             t_lo = min(t_lo, _run_dag(f"local[{lo}]", data_dir))
             t_hi = min(t_hi, _run_dag(f"local[{hi}]", data_dir))
         thr_lo, thr_hi = n_pages / t_lo, n_pages / t_hi

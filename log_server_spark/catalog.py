@@ -62,7 +62,12 @@ class Warehouse:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        _TYPES = {"string": pa.string(), "long": pa.int64(), "double": pa.float64()}
+        _TYPES = {
+            "string": pa.string(),
+            "long": pa.int64(),
+            "double": pa.float64(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
         fields = []
         for part in schema_ddl.split(","):
             col, typ = part.strip().rsplit(" ", 1)

@@ -50,6 +50,37 @@ def windowed_stats(routed: DataFrame, window: str = "1 day") -> DataFrame:
     )
 
 
+def combined_stats(records: DataFrame, window: str = "1 day"):
+    """sink_stats + windowed_stats + ingest status counts in ONE aggregation.
+
+    Uses GROUPING SETS ((status), (sink), (window_start, sink)) so the whole
+    metrics refresh is a single shuffle/scan instead of three. Returns
+    (status_counts_rows, sink_stats_rows, windowed_rows) as collected lists —
+    all three groupings are tiny (O(sinks * days)), so they are written
+    driver-side.
+    """
+    base = records.withColumn("window_start", F.window("warc_ts", window)["start"])
+    agg = base.groupingSets(
+        [["status"], ["sink"], ["window_start", "sink"]],
+        "status", "sink", "window_start",
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("url").alias("n_urls"),
+        F.approx_count_distinct("url").alias("n_urls_approx"),
+        F.countDistinct("table", "record_id", "record_hash").alias("n_keys"),
+        F.min("ts_millis").alias("min_ts"),
+        F.max("ts_millis").alias("max_ts"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.grouping_id().alias("gid"),
+    )
+    rows = agg.collect()
+    # gid bit order follows the grouping column order (status, sink, window_start)
+    status_rows = [r for r in rows if r["gid"] == 0b011]
+    sink_rows = [r for r in rows if r["gid"] == 0b101]
+    windowed_rows = [r for r in rows if r["gid"] == 0b100]
+    return status_rows, sink_rows, windowed_rows
+
+
 def info(records: DataFrame) -> DataFrame:
     """`info`-command analogue over the stored records table (A3, §3.3):
     one row per (sink, day) "segment" sorted by name."""

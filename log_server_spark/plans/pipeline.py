@@ -81,14 +81,26 @@ def _committed_batches(wh: Warehouse) -> set[str]:
     }
 
 
-def _committed_keys(wh: Warehouse) -> DataFrame | None:
+def _committed_keys(wh: Warehouse, ts_range: tuple | None = None) -> DataFrame | None:
+    """Committed dedup-key projection, pruned to the batch's record-ts range.
+
+    The reference probes a segment only if its [minTs, maxTs] contains the
+    candidate record's timestamp (BigStorage.scala:30) — valid because the
+    content hash folds the record ts, so a key match implies (up to the same
+    int32-collision tolerance the reference accepts) an equal ts. At 10^12
+    committed keys this range predicate reaches the parquet/Iceberg scan as
+    row-group/file skipping, so each batch anti-joins only the overlapping
+    slice of key history instead of all of it.
+    """
     if not wh.exists(RECORDS):
         return None
-    return (
-        wh.read(RECORDS)
-        .filter(F.col("status") == "ok")
-        .select(*DEDUP_KEY)
-    )
+    keys = wh.read(RECORDS).filter(F.col("status") == "ok")
+    if ts_range is not None:
+        keys = keys.filter(
+            (F.col("ts_millis") >= F.lit(int(ts_range[0])))
+            & (F.col("ts_millis") <= F.lit(int(ts_range[1])))
+        )
+    return keys.select(*DEDUP_KEY)
 
 
 def run_batch(
@@ -129,7 +141,11 @@ def run_batch(
     errors = parsed.filter(F.col("status") != "ok")
 
     kept, _ = split_duplicates(ok)
-    kept = anti_join_committed(kept, _committed_keys(wh))
+    # batch ts range (one tiny agg on the persisted parse output) gates the
+    # committed-keys scan, mirroring the reference's per-segment ts probe
+    ts_row = ok.agg(F.min("ts_millis").alias("lo"), F.max("ts_millis").alias("hi")).collect()[0]
+    ts_range = (ts_row["lo"], ts_row["hi"]) if ts_row["lo"] is not None else None
+    kept = anti_join_committed(kept, _committed_keys(wh, ts_range))
 
     routed = with_sink(
         enrich(kept.unionByName(errors), lang_lookup, domain_lookup)
@@ -146,16 +162,15 @@ def run_batch(
 
     out.write.mode("append").partitionBy("batch", *partition_cols).parquet(wh.path(RECORDS))
 
-    # ingest counters (A4) — read back the written batch (cheap, column-pruned)
+    # ingest counters (A4) — one column-pruned read-back of the written batch
     written = wh.read(RECORDS).filter(F.col("batch") == batch_id)
+    status_counts = {
+        r["status"]: r["n"]
+        for r in written.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
     counts = {
-        r["k"]: r["n"]
-        for r in written.select(
-            F.when(F.col("status") == "ok", F.lit("added")).otherwise(F.lit("errors")).alias("k")
-        )
-        .groupBy("k")
-        .agg(F.count("*").alias("n"))
-        .collect()
+        "added": status_counts.get("ok", 0),
+        "errors": sum(n for s, n in status_counts.items() if s != "ok"),
     }
     # duplicates = parseable records minus survivors (covers in-batch AND
     # cross-batch dups — the reference counts both, MemoryWiseLogWrapper:97-111)
@@ -177,12 +192,34 @@ def run_batch(
 
 
 def refresh_aggregates(spark: SparkSession, wh: Warehouse) -> None:
-    """Recompute per-sink + windowed aggregate tables from the sink (A1-A3)."""
-    from log_server_spark.operators.aggregate import sink_stats, windowed_stats
+    """Recompute per-sink + windowed aggregate tables from the sink (A1-A3).
 
-    records = wh.read(RECORDS)
-    wh.write(sink_stats(records), METRICS_SINK, mode="overwrite")
-    wh.write(windowed_stats(records), METRICS_WINDOWED, mode="overwrite")
+    One GROUPING SETS aggregation (single scan + shuffle) feeds both tables;
+    results are tiny and written driver-side.
+    """
+    from log_server_spark.operators.aggregate import combined_stats
+
+    _status, sink_rows, windowed_rows = combined_stats(wh.read(RECORDS))
+    for name in (METRICS_SINK, METRICS_WINDOWED):
+        wh.drop(name)
+    wh.write_small(
+        [
+            (r["sink"], r["n_rows"], r["n_urls"], r["n_urls_approx"], r["n_keys"],
+             r["min_ts"], r["max_ts"], r["total_bytes"])
+            for r in sink_rows
+        ],
+        "sink string, n_rows long, n_urls long, n_urls_approx long, n_keys long, "
+        "min_ts long, max_ts long, total_bytes long",
+        METRICS_SINK,
+    )
+    wh.write_small(
+        [
+            (r["window_start"], r["sink"], r["n_rows"], r["n_urls"], r["n_urls_approx"])
+            for r in windowed_rows
+        ],
+        "window_start timestamp, sink string, n_rows long, n_urls long, n_urls_approx long",
+        METRICS_WINDOWED,
+    )
 
 
 def run_pipeline(
