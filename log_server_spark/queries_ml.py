@@ -256,7 +256,49 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media)
 
 
+# --- composite corpus filter (the training-data headline pipeline) ----------
+
+def q_corpus_filter(spark, sf_dir):
+    """Quality-gate + exact-dedup a document corpus in one plan: the
+    canonical pretraining-data filter (quality thresholds -> first-wins
+    dedup by normalized fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    gated = docs.select(
+        "doc_id", "lang", fingerprint("text").alias("fp"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_word_len"].alias("mwl"),
+    ).filter((F.col("n_tokens") >= 30) & (F.col("mwl") >= 3.0) & (F.col("mwl") <= 12.0))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+SQL_CORPUS_FILTER = r"""
+WITH gated AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         round(length(regexp_replace(text, '\s', '', 'g'))
+               / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0)::DOUBLE, 4) AS mwl
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens
+FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM gated WHERE n_tokens >= 30 AND mwl >= 3.0 AND mwl <= 12.0)
+WHERE rn = 1
+"""
+
+
 REGISTRY_ML: dict[str, tuple] = {
+    "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "langid": (q_langid, SQL_LANGID),
