@@ -100,13 +100,33 @@ def normalize_table(table: str) -> str:
     return table[4:] if table.startswith("ros.") else table
 
 
+_DIGITS = set("0123456789")
+
+
 def parse_ts_millis(header_slice: str) -> int | None:
-    """Strict ``yyyy-MM-dd HH:mm:ss`` over a 19-char slice, UTC epoch ms."""
-    if len(header_slice) != 19:
+    """Strict ``yyyy-MM-dd HH:mm:ss`` over a 19-char slice, UTC epoch ms.
+
+    Hand-rolled rather than strptime: (a) ~5x faster (strptime drags locale
+    machinery into the hot path — it was half of parse_page's profile), and
+    (b) stricter, matching Java's DateTimeFormatter position-exact behavior
+    (ASCII digits only, exact separators) where strptime is lenient.
+    """
+    s = header_slice
+    if (
+        len(s) != 19
+        or s[4] != "-" or s[7] != "-" or s[10] != " " or s[13] != ":" or s[16] != ":"
+    ):
+        return None
+    for i in (0, 1, 2, 3, 5, 6, 8, 9, 11, 12, 14, 15, 17, 18):
+        if s[i] not in _DIGITS:
+            return None
+    y = int(s[0:4]); mo = int(s[5:7]); d = int(s[8:10])
+    h = int(s[11:13]); mi = int(s[14:16]); se = int(s[17:19])
+    if not (1 <= mo <= 12 and 1 <= d <= 31 and h <= 23 and mi <= 59 and se <= 59):
         return None
     try:
-        dt = datetime.strptime(header_slice, "%Y-%m-%d %H:%M:%S")
-    except ValueError:
+        dt = datetime(y, mo, d, h, mi, se)
+    except ValueError:  # day out of range for month
         return None
     return calendar.timegm(dt.timetuple()) * 1000
 
