@@ -33,7 +33,7 @@ def token_count(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(c), r"\s+"))
-    )
+    ).cast("long")
 
 
 def bpe_ish_token_count(col) -> Column:

@@ -55,7 +55,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine_r"))
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("cosine", 4).alias("cosine_r"))
     )
 
 
@@ -176,5 +176,5 @@ def lsh_cosine_topk(
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine_r"))
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("cosine", 4).alias("cosine_r"))
     )

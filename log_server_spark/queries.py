@@ -52,7 +52,7 @@ def q_flagship_route_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
-            F.sum(F.length("text")).alias("total_len"),
+            F.sum(F.length("text")).cast("long").alias("total_len"),
         )
     )
 
@@ -63,7 +63,7 @@ SELECT {_SINK_EXPR} AS sink,
        count(DISTINCT doc_id) AS n_docs,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars,
-       sum(length(text)) AS total_len
+       CAST(sum(length(text)) AS BIGINT) AS total_len
 FROM documents GROUP BY 1
 """
 

@@ -58,7 +58,7 @@ def q_quality_score(spark, sf_dir):
     feats = quality_features("text")
     return docs.select(
         "doc_id",
-        feats["n_chars"].alias("n_chars_q"),
+        feats["n_chars"].cast("long").alias("n_chars_q"),
         feats["n_tokens"].alias("n_tokens"),
         feats["punct_ratio"].alias("punct_ratio"),
         feats["digit_ratio"].alias("digit_ratio"),
@@ -234,7 +234,7 @@ def q_multimodal_meta(spark, sf_dir):
     return media.select(
         "media_id",
         "kind",
-        F.length("payload").alias("n_bytes"),
+        F.length("payload").cast("long").alias("n_bytes"),
         F.sha2("payload", 256).alias("payload_sha"),
     )
 
