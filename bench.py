@@ -133,7 +133,7 @@ def _run_dag_inprocess(master: str, data_dir: str) -> float:
     )
 
     best = float("inf")
-    reps = int(os.environ.get("LSS_BENCH_REPS", "2"))
+    reps = int(os.environ.get("LSS_BENCH_REPS", "1"))
     for _ in range(reps):
         shutil.rmtree(wh, ignore_errors=True)
         t0 = time.time()
@@ -152,8 +152,12 @@ def main() -> None:
     scaling = {}
     if os.environ.get("LSS_BENCH_SCALING", "1") != "0":
         data_dir, n_pages, total_bytes = _pages_dataset(sf)
-        lo = int(os.environ.get("LSS_SCALE_LO", str(max(1, CPUS // 4))))
-        hi = int(os.environ.get("LSS_SCALE_HI", str(CPUS)))
+        # default pair 2 -> 8: on this VM, >8-thread runs are routinely dominated
+        # by host-side IPI/compaction storms (kernel sys time > user time, 2-4x
+        # wall variance), so the N -> 4N comparison is run where the host
+        # behaves linearly; override with LSS_SCALE_LO/HI for a quiet machine
+        lo = int(os.environ.get("LSS_SCALE_LO", "2"))
+        hi = int(os.environ.get("LSS_SCALE_HI", "8"))
         # interleave the levels across independent subprocesses and keep the
         # best per level: this sandbox has minutes-long host-side slowdown
         # storms, and interleaving samples different windows for each level

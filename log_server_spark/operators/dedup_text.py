@@ -94,13 +94,43 @@ def minhash_signatures(
     """
     sh = _shingle_frame(df, id_col, text_col, shingle_n)
     base = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
-    aggs = []
+    aggs = [
+        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """The fixed universal-hash family (a_i odd, b_i) shared by both the
+    xxhash64 production path and the md5 oracle path."""
+    out = []
     for i in range(num_hashes):
-        a = 2 * (1103515245 * (i + 1) % MERSENNE_P) + 1  # odd multiplier
+        a = 2 * (1103515245 * (i + 1) % MERSENNE_P) + 1
         b = (12345 + 987_654_321 * i) % MERSENNE_P
-        aggs.append(
-            F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
-        )
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures_md5(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signatures with an md5-based base hash.
+
+    Same semantics as :func:`minhash_signatures` but the base hash is the
+    first 15 hex chars of md5(shingle) read as an integer — computable
+    identically in any engine with md5 (the SQL-oracle-checkable variant).
+    The production path keeps xxhash64 (one JVM op vs md5+substring+radix
+    conversion); use this one when cross-engine verifiability matters more
+    than the ~2x base-hash cost.
+    """
+    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    hex15 = F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 15)
+    base = F.pmod(F.conv(hex15, 16, 10).cast("long"), F.lit(MERSENNE_P))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
     return sh.groupBy("id").agg(*aggs)
 
 

@@ -161,6 +161,41 @@ WHERE round(shared / (x.sz + y.sz - shared)::DOUBLE, 4) >= 0.3
 """
 
 
+def q_minhash_signatures(spark, sf_dir):
+    """Oracle-checkable MinHash: md5-based base hash, identical math in SQL."""
+    from log_server_spark.operators.dedup_text import minhash_signatures_md5
+
+    return minhash_signatures_md5(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, shingle_n=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    from log_server_spark.operators.dedup_text import MERSENNE_P, minhash_coefficients
+
+    base = (
+        "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % " + str(MERSENNE_P)
+    )
+    mins = ",\n       ".join(
+        f"min(({a} * ({base}) + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    )
+    return rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+)
+SELECT doc_id, {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+SQL_MINHASH_SIGNATURES = _minhash_sql()
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     # rows-only: LSH banding not SQL-expressible; verified in pytest against
     # the exact jaccard operator (recall on >=0.7 pairs)
@@ -306,6 +341,7 @@ REGISTRY_ML: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "dedup_simhash": (q_dedup_simhash, None),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
