@@ -309,7 +309,76 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Window functions (§2.5 — absent in the reference; engine capability)
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min inactivity):
+    lag -> new-session flag -> running sum = session id -> per-session agg."""
+    ev = _t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            - F.unix_millis(F.lag(F.col("ts").cast("timestamp")).over(w_user))
+            > gap_ms,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_millis(F.col("ts").cast("timestamp"))).alias("session_start"),
+        F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(epoch_ms(ts)) AS session_start, max(epoch_ms(ts)) AS session_end,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 longest documents per language."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "n_chars", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT lang, doc_id, n_chars,
+       row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk
+FROM documents QUALIFY rnk <= 3
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "flagship_route_aggregate": (q_flagship_route_aggregate, SQL_FLAGSHIP),
     "route_counts": (q_route_counts, SQL_ROUTE_COUNTS),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
