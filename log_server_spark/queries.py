@@ -351,7 +351,7 @@ sess AS (
                                    ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, count(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
        min(epoch_ms(ts)) AS session_start, max(epoch_ms(ts)) AS session_end,
        round(sum(value), 4) AS sum_value
 FROM sess GROUP BY user_id, session_seq
