@@ -18,9 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from log_server_spark.queries import REGISTRY  # noqa: E402
+from log_server_spark.queries_graft import REGISTRY_GRAFT  # noqa: E402
 from log_server_spark.queries_ml import REGISTRY_ML  # noqa: E402
 
-_ALL = {**REGISTRY, **REGISTRY_ML}
+_ALL = {**REGISTRY_GRAFT, **REGISTRY, **REGISTRY_ML}
 
 
 def entry(spark: SparkSession) -> DataFrame:

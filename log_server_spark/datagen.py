@@ -65,7 +65,7 @@ def _body_pool(rng: np.random.Generator, size: int = 512, mean_words: int = 160)
     return pool
 
 
-def _record(ts: datetime, table: str, rid: int | None, op: str, body: str, ru: bool) -> str:
+def _record(ts: datetime, table: str, rid: int | str | None, op: str, body: str, ru: bool) -> str:
     idtok = f" id:{rid}" if rid is not None else ""
     header = f"---- {_fmt(ts)} level:INFO table:{table}{idtok} op:{op}"
     if ru:
@@ -112,7 +112,14 @@ def gen_pages(seed: int = 42, n: int = 10_000, hot_pct: float = 0.30) -> pa.Tabl
         table = TABLES[tbl_idx[i]]
         if i % 11 == 5:
             table = "ros." + table
-        rid = None if i % 7 == 2 else int(rid_draw[i])
+        rid: int | str | None = None if i % 7 == 2 else int(rid_draw[i])
+        if i % 29 == 21 and rid is not None:
+            # string RecordId variant (RecordId.scala:67-75): a non-numeric
+            # token exercises the String branch of RecordId.parse coercion
+            rid = f"u{rid}"
+        elif i % 29 == 13 and rid is not None:
+            # zero-padded numeric token: RecordId.parse canonicalizes to int
+            rid = f"{rid:09d}"
         op = OPS[op_idx[i]]
         body = f"{pool[body_idx[i]]} uniq{i}"
 

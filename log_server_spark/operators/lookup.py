@@ -23,7 +23,9 @@ def canonical_id(col):
 
 def get_records(records: DataFrame, table: str, record_id: str | int) -> DataFrame:
     """All stored records for (table, id), timestamp-ascending."""
-    rid = str(int(record_id)) if str(record_id).lstrip("-").isdigit() else str(record_id)
+    from log_server_spark.parse_ref import canonical_record_id
+
+    rid = canonical_record_id(str(record_id))
     return (
         records.filter(
             (F.col("table") == table) & (F.col("record_id") == rid)

@@ -14,8 +14,13 @@ Semantics reproduced (citations into /root/reference):
 - Validity: a chunk must contain ``'\\n'`` after trim (OldLogReader.scala:51);
   the reference silently skips these — per our north_rule they are routed to
   the error sink instead (SURVEY.md F4).
-- Record id: first line regex ``" id:(\\d+)"`` -> int id, else empty id
-  (OldLogReader.scala:29-30, 65).
+- Record id: first line token ``" id:<token>"``; the token is coerced per
+  ``RecordId.parse`` (RecordId.scala:61-62): try Int first (so ``"0042"`` and
+  ``"42"`` are the SAME id, and values outside int32 fall back), else keep it
+  as a string id (the String variant, RecordId.scala:67-75). No token ->
+  empty id (OldLogReader.scala:29-30, 65 — the legacy regex was digits-only;
+  we generalize to the full RecordId sum type the new-format reader carries
+  on the wire, NewLogReader.scala:122-147).
 - Stream/table tag: the reference derives table name from the *filename*
   regex ``^(.*)\\.sql\\.`` (OldLogReader.scala:39, 64); our pages carry the
   tag in-band as ``" table:<name>"`` on the header line. Missing tag is the
@@ -43,7 +48,8 @@ from datetime import datetime
 DELIMITER = b"\n\n---- "
 MAX_PAYLOAD_BYTES = 1 << 20  # Storage.scala:19
 _JAVA_WS = "".join(chr(c) for c in range(0x21))  # chars <= U+0020
-_ID_RE = re.compile(r" id:(\d+)")
+_ID_RE = re.compile(r" id:(\S+)")
+_INT_RE = re.compile(r"-?\d+")
 _TABLE_RE = re.compile(r" table:(\S+)")
 
 OK = "ok"
@@ -58,7 +64,7 @@ class ParsedRecord:
     seq: int
     status: str  # OK or ERR_*
     table: str | None  # normalized stream name
-    record_id: str | None  # canonical int rendering, None = empty id
+    record_id: str | None  # canonical id (int rendering or string token), None = empty id
     ts_millis: int | None
     text: str  # trimmed decoded chunk (the byte-identity invariant target)
 
@@ -98,6 +104,17 @@ def java_trim(s: str) -> str:
 
 def normalize_table(table: str) -> str:
     return table[4:] if table.startswith("ros.") else table
+
+
+def canonical_record_id(token: str) -> str:
+    """``RecordId.parse`` coercion (RecordId.scala:61-62): Int first — Scala's
+    ``toInt`` accepts an optional sign and canonicalizes leading zeros, but
+    overflows past int32 throw and fall through to the String variant."""
+    if _INT_RE.fullmatch(token):
+        v = int(token)
+        if -(1 << 31) <= v < (1 << 31):
+            return str(v)
+    return token
 
 
 _DIGITS = set("0123456789")
@@ -144,7 +161,7 @@ def parse_page(html: bytes | None) -> list[ParsedRecord]:
             continue
         first_line = log[:nl]
         m = _ID_RE.search(first_line)
-        record_id = str(int(m.group(1))) if m else None
+        record_id = canonical_record_id(m.group(1)) if m else None
         tm = _TABLE_RE.search(first_line)
         ts = parse_ts_millis(log[5:24])
         if ts is None:

@@ -1,0 +1,272 @@
+"""Driver-oracle queries for the graft core: the real parse -> dedup path.
+
+Round 1 verified the legacy-format parser (S3/C6-C9), record-id coercion
+(F7), and first-wins dedup (J1/A5) only through pytest goldens. These
+queries put the SAME code paths (``functions/parse.py`` mapInPandas over
+``parse_ref``, ``operators/dedup.py``) under the driver's DuckDB value
+check:
+
+- ``parse_records``: synthesize legacy-format pages (the OldLogReader wire
+  shape, /root/reference/log-server-db/.../reader/OldLogReader.scala:19-66)
+  deterministically FROM the driver's ``documents`` table inside the query
+  — header line ``---- yyyy-MM-dd HH:mm:ss table:<t> id:<tok>``, chunks
+  separated by the ``\\n\\n---- `` delimiter, planted bad-date /
+  missing-table / no-newline / zero-padded-id / string-id variants — run
+  the real Arrow parse stage over the bytes, and emit
+  ``(doc_id, seq, status, tbl, record_id, ts_ms, fp=md5(text))``. The
+  DuckDB oracle constructs the expected rows from the same pure functions
+  of ``doc_id``/``text``.
+
+- ``dedup_pipeline``: two-slice ingest over the same synthetic pages with
+  planted cross-doc exact clones; slice 1 is deduped first-wins in-batch
+  (BigStorage.scala:316-333), its keys become the committed set, slice 2 is
+  deduped in-batch then anti-joined against the committed keys
+  (HeaderStorage.scala:99-114) — the reference's cross-generation probe.
+  The oracle replays the same decisions with window functions keyed on
+  ``(tbl, record_id, ts_ms, fp)``; the Spark side keys on the REAL record
+  hash (murmur3 ^ ts-fold, Storage.scala:48-49), which is a pure function
+  of (text, ts), so the decisions coincide (hash collisions aside, ~1e-6
+  at this scale).
+
+Everything here is ASCII-only by construction (payloads are
+whitespace-normalized slices of ``documents.text``), so the byte-level
+charset-sniff paths stay pytest/golden territory while the structural
+parse semantics get the driver's hard signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log_server_spark.functions.parse import parse_pages
+from log_server_spark.operators.dedup import DEDUP_KEY, anti_join_committed, split_duplicates
+
+# 2024-01-01T00:00:00Z — synthetic record-time origin
+E0 = 1_704_067_200
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side page synthesis (all JVM expressions — no Python until the parse)
+# ---------------------------------------------------------------------------
+
+def synth_legacy_pages(docs: DataFrame, url_id: str = "doc_id", content_id: str = "doc_id") -> DataFrame:
+    """documents-ish frame -> pages(url, warc_ts, lang, html).
+
+    ``html`` embeds two legacy chunks derived purely from ``content_id`` +
+    ``text`` + ``source``; ``url`` encodes ``url_id`` (zero-padded so string
+    order == numeric order, the deterministic source order O4). When
+    ``content_id != url_id`` the page is an exact content clone of another
+    doc — the planted-duplicate knob.
+    """
+    cid = F.col(content_id)
+    clean = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))
+    pay1 = F.trim(F.concat(F.lit("p1 "), F.substring(clean, 1, 120)))
+    pay2 = F.trim(F.concat(F.lit("p2 "), F.substring(clean, 121, 120)))
+    ts1 = F.date_format(F.timestamp_seconds(F.lit(E0) + cid * 7), "yyyy-MM-dd HH:mm:ss")
+    ts2 = F.date_format(F.timestamp_seconds(F.lit(E0) + cid * 7 + 61), "yyyy-MM-dd HH:mm:ss")
+    ts1s = F.when(cid % 17 == 0, F.lit("XXXX-01-01 00:00:00")).otherwise(ts1)
+    id_tok = (
+        F.when(cid % 23 == 21, F.concat(F.lit("u"), cid.cast("string")))
+        .when(cid % 5 == 0, F.lpad(cid.cast("string"), 8, "0"))
+        .otherwise(cid.cast("string"))
+    )
+    chunk1 = F.concat(
+        F.lit("---- "), ts1s, F.lit(" table:ros."), F.col("source"),
+        F.lit(" id:"), id_tok, F.lit(" op:sync\n"), pay1,
+    )
+    body2 = (
+        F.when(
+            cid % 19 == 0,
+            F.concat(ts2, F.lit(" table:"), F.col("source"), F.lit(" id:9 no-body-here")),
+        )
+        .when(
+            cid % 13 == 0,
+            F.concat(ts2, F.lit(" level:INFO id:"), cid.cast("string"), F.lit(" op:read\n"), pay2),
+        )
+        .otherwise(
+            F.concat(ts2, F.lit(" table:"), F.col("source"), F.lit("_x op:read\n"), pay2)
+        )
+    )
+    html_s = F.concat(chunk1, F.lit("\n\n---- "), body2)
+    return docs.select(
+        F.concat(F.lit("doc://"), F.lpad(F.col(url_id).cast("string"), 6, "0")).alias("url"),
+        F.timestamp_seconds(F.lit(E0)).alias("warc_ts"),
+        F.col("lang"),
+        F.encode(html_s, "UTF-8").alias("html"),
+    )
+
+
+_PARSED_OUT = [
+    # doc_id back out of the url; the rest straight off the parse stage
+    lambda: F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+    lambda: F.col("seq").cast("long").alias("seq"),
+    lambda: F.col("status"),
+    lambda: F.col("table").alias("tbl"),
+    lambda: F.col("record_id"),
+    lambda: F.coalesce(F.col("ts_millis"), F.lit(-1)).alias("ts_ms"),
+    lambda: F.md5(F.encode("text", "UTF-8")).alias("fp"),
+]
+
+
+def q_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_legacy_pages(_t(spark, sf_dir, "documents"))
+    return parse_pages(pages).select(*[c() for c in _PARSED_OUT])
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch ingest with in-batch first-wins + cross-batch anti-join.
+
+    Docs with ``doc_id % 10 in (8, 9)`` are exact content clones of the
+    decade anchor (``doc_id - doc_id % 10``); slices by ``doc_id % 3`` put
+    clones both in-batch (same slice as anchor) and cross-batch.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    anchor = F.when(
+        F.col("doc_id") % 10 >= 8, F.col("doc_id") - F.col("doc_id") % 10
+    ).otherwise(F.col("doc_id"))
+    content = docs.select(
+        F.col("doc_id").alias("cid"), F.col("text"), F.col("source"), F.col("lang")
+    )
+    anchored = (
+        docs.select(F.col("doc_id"), anchor.alias("anchor"))
+        .join(F.broadcast(content), F.col("anchor") == F.col("cid"))
+        .select("doc_id", "cid", "text", "source", "lang")
+    )
+    pages = synth_legacy_pages(anchored, url_id="doc_id", content_id="cid")
+    parsed = (
+        parse_pages(pages)
+        .filter(F.col("status") == "ok")
+        .withColumn("doc_id", F.regexp_extract("url", r"doc://(\d+)", 1).cast("long"))
+    )
+    b1 = parsed.filter(F.col("doc_id") % 3 != 2)
+    b2 = parsed.filter(F.col("doc_id") % 3 == 2)
+    kept1, _ = split_duplicates(b1, order_cols=["url", "seq"])
+    kept2, _ = split_duplicates(b2, order_cols=["url", "seq"])
+    kept2 = anti_join_committed(kept2, kept1.select(*DEDUP_KEY))
+    out = kept1.withColumn("batch", F.lit(1).cast("long")).unionByName(
+        kept2.withColumn("batch", F.lit(2).cast("long"))
+    )
+    return out.select(F.col("batch"), *[c() for c in _PARSED_OUT])
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — expected rows as pure SQL functions of (doc_id, text)
+# ---------------------------------------------------------------------------
+
+def _base_cte(anchored: bool) -> str:
+    if anchored:
+        d = r"""
+d AS (
+  SELECT x.doc_id, a.doc_id AS cid, a.source,
+         trim(regexp_replace(coalesce(a.text, ''), '\s+', ' ', 'g')) AS clean
+  FROM documents x
+  JOIN documents a
+    ON a.doc_id = CASE WHEN x.doc_id % 10 >= 8 THEN x.doc_id - x.doc_id % 10
+                       ELSE x.doc_id END
+)"""
+    else:
+        d = r"""
+d AS (
+  SELECT doc_id, doc_id AS cid, source,
+         trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS clean
+  FROM documents
+)"""
+    return (
+        d
+        + f""",
+base AS (
+  SELECT doc_id, cid, source,
+         trim('p1 ' || substr(clean, 1, 120)) AS pay1,
+         trim('p2 ' || substr(clean, 121, 120)) AS pay2,
+         strftime(make_timestamp(({E0} + cid * 7) * 1000000), '%Y-%m-%d %H:%M:%S') AS ts1,
+         strftime(make_timestamp(({E0} + cid * 7 + 61) * 1000000), '%Y-%m-%d %H:%M:%S') AS ts2,
+         CASE WHEN cid % 23 = 21 THEN 'u' || CAST(cid AS VARCHAR)
+              WHEN cid % 5 = 0 THEN lpad(CAST(cid AS VARCHAR), 8, '0')
+              ELSE CAST(cid AS VARCHAR) END AS id_tok
+  FROM d
+),
+r1 AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS seq,
+         CASE WHEN cid % 17 = 0 THEN 'err_bad_date' ELSE 'ok' END AS status,
+         CASE WHEN cid % 17 = 0 THEN '' ELSE source END AS tbl,
+         CASE WHEN cid % 23 = 21 THEN 'u' || CAST(cid AS VARCHAR)
+              ELSE CAST(cid AS VARCHAR) END AS record_id,
+         CASE WHEN cid % 17 = 0 THEN -1 ELSE ({E0} + cid * 7) * 1000 END AS ts_ms,
+         md5('---- ' || CASE WHEN cid % 17 = 0 THEN 'XXXX-01-01 00:00:00' ELSE ts1 END
+             || ' table:ros.' || source || ' id:' || id_tok || ' op:sync'
+             || chr(10) || pay1) AS fp
+  FROM base
+),
+r2 AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS seq,
+         CASE WHEN cid % 19 = 0 THEN 'err_no_newline'
+              WHEN cid % 13 = 0 THEN 'err_missing_table'
+              ELSE 'ok' END AS status,
+         CASE WHEN cid % 19 = 0 OR cid % 13 = 0 THEN '' ELSE source || '_x' END AS tbl,
+         CASE WHEN cid % 19 = 0 THEN ''
+              WHEN cid % 13 = 0 THEN CAST(cid AS VARCHAR)
+              ELSE '' END AS record_id,
+         CASE WHEN cid % 19 = 0 THEN -1 ELSE ({E0} + cid * 7 + 61) * 1000 END AS ts_ms,
+         md5('---- ' ||
+             CASE WHEN cid % 19 = 0
+                  THEN ts2 || ' table:' || source || ' id:9 no-body-here'
+                  WHEN cid % 13 = 0
+                  THEN ts2 || ' level:INFO id:' || CAST(cid AS VARCHAR) || ' op:read' || chr(10) || pay2
+                  ELSE ts2 || ' table:' || source || '_x op:read' || chr(10) || pay2
+             END) AS fp
+  FROM base
+)"""
+    )
+
+
+SQL_PARSE_RECORDS = f"""
+WITH {_base_cte(anchored=False)}
+SELECT doc_id, seq, status, tbl, record_id, ts_ms, fp FROM r1
+UNION ALL
+SELECT doc_id, seq, status, tbl, record_id, ts_ms, fp FROM r2
+"""
+
+
+SQL_DEDUP_PIPELINE = f"""
+WITH {_base_cte(anchored=True)},
+recs AS (
+  SELECT * FROM r1 WHERE status = 'ok'
+  UNION ALL
+  SELECT * FROM r2 WHERE status = 'ok'
+),
+b AS (
+  SELECT *, CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS batch FROM recs
+),
+k1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, record_id, ts_ms, fp
+                                 ORDER BY doc_id, seq) AS rn
+    FROM b WHERE batch = 1) WHERE rn = 1
+),
+k2c AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, record_id, ts_ms, fp
+                                 ORDER BY doc_id, seq) AS rn
+    FROM b WHERE batch = 2) WHERE rn = 1
+),
+k2 AS (
+  SELECT * FROM k2c
+  WHERE NOT EXISTS (SELECT 1 FROM k1
+                    WHERE k1.tbl = k2c.tbl AND k1.record_id = k2c.record_id
+                      AND k1.ts_ms = k2c.ts_ms AND k1.fp = k2c.fp)
+)
+SELECT CAST(batch AS BIGINT) AS batch, doc_id, seq, status, tbl, record_id, ts_ms, fp FROM k1
+UNION ALL
+SELECT CAST(batch AS BIGINT) AS batch, doc_id, seq, status, tbl, record_id, ts_ms, fp FROM k2
+"""
+
+
+REGISTRY_GRAFT: dict[str, tuple] = {
+    "parse_records": (q_parse_records, SQL_PARSE_RECORDS),
+    "dedup_pipeline": (q_dedup_pipeline, SQL_DEDUP_PIPELINE),
+}
