@@ -46,6 +46,15 @@ def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     )
 
 
+def _shingle_sizes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """|distinct shingles| per doc, computed inline from the array — no
+    explode + re-aggregate round trip (and no persist) just to count."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(word_ngrams(text_col, n))).alias("sz"),
+    ).filter(F.col("sz") > 0)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -53,10 +62,13 @@ def ngram_jaccard_pairs(
 
     Shuffle profile: one explode + equi-join keyed by shingle (skew-prone
     shingles are rare after array_distinct; AQE skew-join covers the rest),
-    then one aggregation keyed by the pair.
+    then one aggregation keyed by the pair. Per-doc sizes come straight off
+    the shingle array (no persist: the explode is recomputed for the join's
+    second side — one extra map pass instead of executor cache that would
+    accumulate across calls).
     """
-    sh = _shingle_frame(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sh = _shingle_frame(df, id_col, text_col, n)
+    sizes = _shingle_sizes(df, id_col, text_col, n)
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     shared = (
@@ -172,7 +184,7 @@ def minhash_lsh_pairs(
     )
     # exact verify on the candidate set only
     sh = _shingle_frame(df, id_col, text_col, shingle_n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sizes = _shingle_sizes(df, id_col, text_col, shingle_n)
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     shared = (

@@ -119,3 +119,28 @@ def test_ann_lsh_recall_vs_exact(emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(exact_scores[key] - r["cosine_r"]) < 1e-9
+
+
+def test_block_neardup_equals_bruteforce(emb):
+    """The distributed block-pair exact near-dup must equal a driver-side
+    numpy brute force (the pytest oracle for cosine_neardup_pairs)."""
+    import numpy as np
+
+    from log_server_spark.operators.similarity import cosine_neardup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_r"]
+        for r in cosine_neardup_pairs(emb, threshold=0.45, n_blocks=5).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    want = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and sims[i, j] >= 0.45:
+                want[(int(ids[i]), int(ids[j]))] = round(float(sims[i, j]), 4)
+    assert got == want

@@ -83,3 +83,20 @@ def test_flagship_single_scan(spark):
     # routing + aggregation must be one pass over documents, not N re-scans
     # (each distinct scan gets one "Location:" detail block)
     assert plan.count("Location:") == 1
+
+
+def test_no_driver_collect_in_any_query(spark, monkeypatch):
+    """No queries() plan may materialize data on the driver during
+    construction (the 100 TB ban on collect-and-broadcast operators)."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    import __spark_entry__ as entry_mod
+
+    def _banned(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-side materialization inside a queries() plan")
+
+    for meth in ("collect", "toPandas", "toLocalIterator"):
+        monkeypatch.setattr(cdf.DataFrame, meth, _banned)
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_DIR)  # constructing the plan must not collect
+        assert df.columns, name
