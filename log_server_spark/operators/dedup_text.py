@@ -154,6 +154,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    base: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact n-gram Jaccard.
 
@@ -163,7 +164,10 @@ def minhash_lsh_pairs(
     the shingle frame (semi-join pruned).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if base == "md5":
+        sig = minhash_signatures_md5(df, id_col, text_col, num_hashes, shingle_n)
+    else:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -206,12 +210,23 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _base_hash_expr(col, base: str):
+    """Word/shingle base hash: ``xxhash64`` (one JVM op — the production
+    path) or ``md5`` (first 15 hex chars of md5 as an integer — computable
+    identically in any engine with md5, the SQL-oracle-checkable variant)."""
+    if base == "xxhash64":
+        return F.xxhash64(col)
+    if base == "md5":
+        return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("long")
+    raise ValueError(base)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str, base: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per doc: per-bit majority vote over word hashes."""
     w = df.select(
         F.col(id_col).alias("id"),
         F.explode(words(F.trim(F.col(text_col)))).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", _base_hash_expr(F.col("w"), base))
     votes = w.groupBy("id").agg(
         *[
             F.sum(
@@ -230,7 +245,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("id", sim.alias("simhash"))
 
 
-def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, base: str = "xxhash64"
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Candidate generation is exact by pigeonhole: the 63-bit signature is cut
@@ -238,10 +255,16 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming
     at least one whole block; candidates equi-join on (block idx, block
     bits) and are verified by popcount. Block count scales with the radius —
     wider radius = more blocks = more candidates, never missed pairs.
+
+    ``width`` must be ceil(63 / n_blocks): rounding up from floor(63/n)+1
+    (the round-1 bug) made the last block start past bit 63 whenever
+    n_blocks divides into 63 unevenly enough — fewer *effective* blocks
+    than the pigeonhole needs, i.e. missed pairs at the radius boundary
+    (and a 64-bit shift that the JVM wraps to 0).
     """
     n_blocks = max_hamming + 1
-    width = 63 // n_blocks + 1
-    sig = simhash64(df, id_col, text_col)
+    width = -(-63 // n_blocks)
+    sig = simhash64(df, id_col, text_col, base=base)
     blocks = sig.select(
         "id",
         "simhash",
@@ -268,7 +291,7 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

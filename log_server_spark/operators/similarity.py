@@ -130,6 +130,102 @@ def cosine_neardup_pairs(
     return pairs.mapInPandas(gen, schema="id_a long, id_b long, cosine_r double")
 
 
+def _rademacher_signs(dim: int, bits: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from md5 bits — sign-of-dot-product with
+    a Rademacher vector is a valid angle-preserving LSH family, and unlike
+    gaussian planes the projection is expressible identically in ANY engine
+    (a left-fold of double adds — bit-for-bit reproducible), which makes the
+    bucket assignment SQL-oracle-checkable."""
+    import hashlib
+
+    signs = np.empty((bits, dim), dtype=np.int8)
+    for j in range(bits):
+        acc = b""
+        k = 0
+        while len(acc) * 8 < dim:
+            acc += hashlib.md5(f"lss-ann-{j}-{k}".encode()).digest()
+            k += 1
+        val = int.from_bytes(acc, "big")
+        for i in range(dim):
+            signs[j, i] = 1 if (val >> i) & 1 else -1
+    return signs
+
+
+def rademacher_bucket_expr(vec_double_col, signs: np.ndarray):
+    """LSH bucket id as a pure Spark expression: per bit, a left-fold sum of
+    e[i] * (±1.0) — the exact IEEE sequence a SQL engine's list_reduce
+    produces, so both engines compute the identical bucket."""
+    bits_exprs = []
+    for j, row in enumerate(signs):
+        sarr = F.array(*[F.lit(float(s)) for s in row])
+        proj = F.aggregate(
+            F.zip_with(vec_double_col, sarr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits_exprs.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits_exprs[0]
+    for e in bits_exprs[1:]:
+        out = out + e
+    return out.cast("long")
+
+
+def _probe_masks(bits: int, probes: int) -> list[int]:
+    flips = [0]
+    if probes >= 1:
+        flips += [1 << b for b in range(bits)]
+    if probes >= 2:
+        flips += [(1 << a) | (1 << b) for a in range(bits) for b in range(a + 1, bits)]
+    return flips
+
+
+def ann_rademacher_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 3,
+    bits: int = 6,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via Rademacher-plane LSH buckets + multi-probe.
+
+    Same bucket equi-join shape as :func:`lsh_cosine_topk` but with
+    engine-portable deterministic buckets (see ``_rademacher_signs``), so
+    the whole operator — candidate generation included — is value-checkable
+    against a SQL oracle. Exact cosine inside the probed buckets.
+    """
+    signs = _rademacher_signs(dim, bits)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bkt", rademacher_bucket_expr(F.col("qv"), signs))
+    qb = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(*[F.col("bkt").bitwiseXOR(F.lit(m).cast("long")) for m in _probe_masks(bits, probes)])
+        ).alias("bkt"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bkt", rademacher_bucket_expr(F.col("cv"), signs))
+    joined = c.join(F.broadcast(qb), "bkt").withColumn(
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 4).alias("cosine_r"),
+        )
+    )
+
+
 _LSH_SEED = 0x5EED
 
 

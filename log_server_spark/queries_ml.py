@@ -1,10 +1,13 @@
 """Training-data-pipeline queries (dedup / similarity / text / multimodal).
 
 Same contract as queries.py: Spark impl + DuckDB oracle with identical
-column names. Entries whose semantics are not reasonably SQL-expressible
-(MinHash-LSH, SimHash, hyperplane-LSH ANN) carry ``None`` oracles — the
-driver records a rows-only check; their correctness is covered by pytest
-(planted near-dup recall vs the exact operators).
+column names. Round 2 upgraded the LSH family (MinHash banding, SimHash
+block-join, Rademacher-plane ANN) to value-checked oracles: the base hashes
+switch to md5-derived integers (computable identically in any engine) and
+the ANN hyperplanes to deterministic ±1 vectors whose projections are plain
+left-folds of double adds — bit-for-bit reproducible across engines. Only
+``multimodal_features`` remains rows-only (its decode kernel is an
+honestly-stubbed codec, not SQL).
 """
 
 from __future__ import annotations
@@ -197,19 +200,115 @@ SQL_MINHASH_SIGNATURES = _minhash_sql()
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    # rows-only: LSH banding not SQL-expressible; verified in pytest against
-    # the exact jaccard operator (recall on >=0.7 pairs)
+    """Oracle-checked banded MinHash-LSH: md5-based base hash (identical
+    math in SQL), band keys = concatenated per-band minima, candidates from
+    the (band, key) equi-join, exact Jaccard verify on candidates only."""
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        num_hashes=16, bands=8, shingle_n=3, threshold=0.5,
+        num_hashes=16, bands=8, shingle_n=3, threshold=0.5, base="md5",
     ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
+    from log_server_spark.operators.dedup_text import MERSENNE_P, minhash_coefficients
+
+    rpb = num_hashes // bands
+    base = "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % " + str(MERSENNE_P)
+    mins = ",\n       ".join(
+        f"min(({a} * ({base}) + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bi} AS band, "
+        + " || '_' || ".join(f"CAST(mh_{bi * rpb + j} AS VARCHAR)" for j in range(rpb))
+        + " AS key FROM sig"
+        for bi in range(bands)
+    )
+    return rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, key)
+  WHERE a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT doc_a, doc_b, count(*) AS shared
+  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / (x.sz + y.sz - shared)::DOUBLE, 4) AS jaccard
+FROM shared JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE round(shared / (x.sz + y.sz - shared)::DOUBLE, 4) >= {threshold}
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _minhash_lsh_sql()
 
 
 def q_dedup_simhash(spark, sf_dir):
-    # rows-only: bit-vote signature; verified in pytest
+    """Oracle-checked SimHash near-dup: md5-based word hash, pigeonhole
+    block-join candidates, popcount verify."""
     return simhash_neardup_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8, base="md5"
     ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+def _simhash_sql(max_hamming: int = 8) -> str:
+    n_blocks = max_hamming + 1
+    width = -(-63 // n_blocks)
+    h = "CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)"
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(63)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(63)
+    )
+    blocks = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS blk, (simhash >> {width * i}) & {(1 << width) - 1} AS key FROM sig"
+        for i in range(n_blocks)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM w GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {sim} AS simhash FROM votes),
+blocks AS (
+{blocks}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocks a JOIN blocks b USING (blk, key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
 
 
 # --- embedding similarity ---------------------------------------------------
@@ -254,11 +353,56 @@ SELECT id_a, id_b, round(cos, 4) AS cosine_r FROM p WHERE cos >= 0.45
 
 
 def q_embedding_ann_lsh(spark, sf_dir):
-    # rows-only: approximate (hyperplane LSH); recall vs exact checked in pytest
+    """Oracle-checked ANN: Rademacher-plane LSH buckets (engine-portable
+    deterministic projections) + multi-probe + exact cosine in-bucket."""
+    from log_server_spark.operators.similarity import ann_rademacher_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(
-        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), dim=64, k=3, bits=6, probes=2
+    return ann_rademacher_topk(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
+        dim=64, k=3, bits=6, probes=2,
     )
+
+
+def _ann_sql(dim: int = 64, k: int = 3, bits: int = 6, probes: int = 2) -> str:
+    from log_server_spark.operators.similarity import _probe_masks, _rademacher_signs
+
+    signs = _rademacher_signs(dim, bits)
+
+    def bucket(e: str) -> str:
+        terms = []
+        for j in range(bits):
+            lst = "[" + ", ".join(f"{float(s):.1f}" for s in signs[j]) + "]"
+            proj = (
+                f"list_reduce(list_transform(generate_series(1, {dim}), "
+                f"i -> CAST({e}[i] AS DOUBLE) * ({lst})[i]), (a, b) -> a + b)"
+            )
+            terms.append(f"CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END")
+        return "(" + " + ".join(terms) + ")"
+
+    masks = ", ".join(str(m) for m in _probe_masks(bits, probes))
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, {bucket('embedding')} AS qb
+           FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS ce, {bucket('embedding')} AS cb
+           FROM embeddings WHERE vec_id >= 5),
+     pq0 AS (SELECT query_id, qe, qb, unnest([{masks}]) AS m FROM q),
+     pq AS (SELECT query_id, qe, xor(qb, m) AS bkt FROM pq0),
+     cand AS (SELECT query_id, qe, neighbor_id, ce FROM pq JOIN c ON c.cb = pq.bkt),
+     s AS (SELECT query_id, neighbor_id,
+        list_sum(list_transform(generate_series(1, len(qe)),
+                 i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) AS dot,
+        sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+        sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        FROM cand)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dot/(nq*nc) DESC, neighbor_id) AS rank,
+       round(dot/(nq*nc), 4) AS cosine_r
+FROM s QUALIFY rank <= {k}
+"""
+
+
+SQL_EMBEDDING_ANN_LSH = _ann_sql()
 
 
 # --- multimodal plumbing -----------------------------------------------------
@@ -340,12 +484,12 @@ REGISTRY_ML: dict[str, tuple] = {
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "embedding_ann_lsh": (q_embedding_ann_lsh, None),
+    "embedding_ann_lsh": (q_embedding_ann_lsh, SQL_EMBEDDING_ANN_LSH),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": (q_multimodal_features, None),
 }
