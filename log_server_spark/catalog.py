@@ -11,10 +11,16 @@ plans/pipeline.py) hold for both backends.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class WarehouseLockTimeout(TimeoutError):
+    pass
 
 
 class Warehouse:
@@ -22,6 +28,60 @@ class Warehouse:
         self.root = root
         self.spark = spark
         os.makedirs(root, exist_ok=True)
+        self._recover_interrupted_archive()
+
+    def _recover_interrupted_archive(self) -> None:
+        """Finish a crashed ``archive`` swap (see cli.cmd_archive): the swap
+        is rename(records -> records.old); rename(.compact -> records);
+        rm(records.old) — a crash leaves either both records and records.old
+        (drop the old copy) or only records.old (restore it)."""
+        old = self.path("records.old")
+        if not os.path.isdir(old):
+            return
+        if os.path.isdir(self.path("records")):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, self.path("records"))
+
+    @contextlib.contextmanager
+    def lock(self, timeout: float = 60.0, poll: float = 0.25):
+        """Advisory exclusive lock on the warehouse dir.
+
+        The reference locks its db dir with a ``db.lock`` file and a 60 s
+        wait timeout (Directory.scala:140-170; RecordStorage.scala:40;
+        unlock shutdown hook BigStorage.scala:360-372). Two overlapping
+        ``update`` runs would otherwise interleave torn-write cleanup with
+        each other's in-flight writes. A lock whose owner pid is dead is
+        stolen (the crashed-process case the reference's shutdown hook
+        can't cover).
+        """
+        lock_path = os.path.join(self.root, "db.lock")
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    with open(lock_path) as f:
+                        owner = int(f.read().strip() or "0")
+                    os.kill(owner, 0)  # raises if the owner is gone
+                except (OSError, ValueError):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(lock_path)  # stale lock from a dead run
+                    continue
+                if time.monotonic() >= deadline:
+                    raise WarehouseLockTimeout(
+                        f"{lock_path} held by pid {owner} after {timeout}s"
+                    ) from None
+                time.sleep(poll)
+        try:
+            yield self
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lock_path)
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -50,12 +110,18 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
 
-    def write_small(self, rows: list[tuple], schema_ddl: str, name: str) -> None:
+    def write_small(
+        self, rows: list[tuple], schema_ddl: str, name: str, filename: str | None = None
+    ) -> None:
         """Append a tiny table (lineage/metrics rows) driver-side via pyarrow.
 
         A 2-row bookkeeping append costs ~3 s as a Spark job in local mode
         (job scheduling + committer); pyarrow writes it in milliseconds. The
         files are plain parquet parts, so ``read`` sees them like any other.
+
+        Pass ``filename`` (e.g. the batch id) to make the write idempotent:
+        a reprocessed batch overwrites its own bookkeeping file instead of
+        appending a duplicate row.
         """
         import time as _time
 
@@ -66,6 +132,8 @@ class Warehouse:
             "string": pa.string(),
             "long": pa.int64(),
             "double": pa.float64(),
+            "binary": pa.binary(),
+            "date": pa.date32(),
             "timestamp": pa.timestamp("us", tz="UTC"),
         }
         fields = []
@@ -77,8 +145,8 @@ class Warehouse:
         tbl = pa.table({f.name: pa.array(list(c), f.type) for f, c in zip(schema, cols)})
         d = self.path(name)
         os.makedirs(d, exist_ok=True)
-        fn = os.path.join(d, f"part-{_time.time_ns():020d}.parquet")
-        pq.write_table(tbl, fn)
+        tag = filename if filename is not None else f"{_time.time_ns():020d}"
+        pq.write_table(tbl, os.path.join(d, f"part-{tag}.parquet"))
 
     def drop(self, name: str) -> None:
         p = self.path(name)

@@ -54,11 +54,20 @@ def cmd_update(args) -> int:
 
 
 def cmd_get(args) -> int:
-    from log_server_spark.operators.lookup import get_records_json
+    """Point lookup; repeat --warehouse for the reference's multi-year
+    fan-out (GetCommand.scala:29-36: years.map(get).reduce(++) — a bag
+    union across databases, results globally ts-sorted)."""
+    from functools import reduce
+
+    from log_server_spark.operators.lookup import get_records, to_json_records
 
     spark, owned = _session(args.master)
-    records = spark.read.parquet(os.path.join(args.warehouse, "records"))
-    for row in get_records_json(records, args.table, args.id).collect():
+    parts = [
+        get_records(spark.read.parquet(os.path.join(w, "records")), args.table, args.id)
+        for w in args.warehouse
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts).orderBy("ts_millis")
+    for row in to_json_records(unioned).collect():
         print(row["json"])
     if owned:
         spark.stop()
@@ -93,28 +102,37 @@ def cmd_archive(args) -> int:
 
     from pyspark.sql import functions as F
 
+    from log_server_spark.catalog import Warehouse
+
     spark, owned = _session(args.master)
+    wh = Warehouse(args.warehouse, spark)  # also recovers a crashed prior swap
     records_dir = os.path.join(args.warehouse, "records")
+    old_dir = records_dir + ".old"
     tmp_dir = records_dir + ".compact"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    df = spark.read.parquet(records_dir)
-    n_before = len(glob.glob(os.path.join(records_dir, "**", "*.parquet"), recursive=True))
-    rows_before = df.count()
-    (
-        df.repartition(F.col("batch"), F.col("sink"))
-        .write.mode("overwrite")
-        .partitionBy("batch", "sink", *(["day"] if "day" in df.columns and args.by_day else []))
-        .parquet(tmp_dir)
-    )
-    rows_after = spark.read.parquet(tmp_dir).count()
-    if rows_after != rows_before:
-        shutil.rmtree(tmp_dir)
-        print(f"ABORT: row count mismatch {rows_before} -> {rows_after}", file=sys.stderr)
-        if owned:
-            spark.stop()
-        return 1
-    shutil.rmtree(records_dir)
-    os.rename(tmp_dir, records_dir)
+    with wh.lock():
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        df = spark.read.parquet(records_dir)
+        n_before = len(glob.glob(os.path.join(records_dir, "**", "*.parquet"), recursive=True))
+        rows_before = df.count()
+        (
+            df.repartition(F.col("batch"), F.col("sink"))
+            .write.mode("overwrite")
+            .partitionBy("batch", "sink", *(["day"] if "day" in df.columns and args.by_day else []))
+            .parquet(tmp_dir)
+        )
+        rows_after = spark.read.parquet(tmp_dir).count()
+        if rows_after != rows_before:
+            shutil.rmtree(tmp_dir)
+            print(f"ABORT: row count mismatch {rows_before} -> {rows_after}", file=sys.stderr)
+            if owned:
+                spark.stop()
+            return 1
+        # atomic-enough swap: records is never absent without records.old
+        # present, so a crash at any point is recoverable (Warehouse.__init__
+        # restores or discards records.old)
+        os.rename(records_dir, old_dir)
+        os.rename(tmp_dir, records_dir)
+        shutil.rmtree(old_dir)
     n_after = len(glob.glob(os.path.join(records_dir, "**", "*.parquet"), recursive=True))
     print(json.dumps({"files_before": n_before, "files_after": n_after, "rows": rows_after}))
     if owned:
@@ -135,7 +153,10 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_update)
 
     p = sub.add_parser("get", help="point lookup: all records for (table, id)")
-    p.add_argument("--warehouse", required=True)
+    p.add_argument(
+        "--warehouse", required=True, action="append",
+        help="repeat for multi-warehouse (multi-year) bag-union fan-out",
+    )
     p.add_argument("--table", required=True)
     p.add_argument("--id", required=True)
     p.set_defaults(fn=cmd_get)

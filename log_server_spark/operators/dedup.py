@@ -8,11 +8,14 @@ key but different content are all kept (not last-write-wins).
 
 Spark restatement, scale-first:
 
-- **in-batch**: a window ``row_number`` over the dedup key ordered by the
-  deterministic lineage position ``(url, warc_ts, seq)`` — the analogue of
-  the reference's sorted-source-order guarantee (O4) — keeps exactly one row
-  per key. (A bare ``dropDuplicates`` would be nondeterministic under
-  parallel scan order.)
+- **in-batch**: a window ``row_number`` over the dedup key ordered by
+  ``(url, warc_ts, seq)`` keeps exactly one row per key. This is a
+  DETERMINISTIC tie-break (a bare ``dropDuplicates`` would be
+  nondeterministic under parallel scan order), not byte-level source-order
+  parity with the reference's O4 guarantee: when one dedup key appears
+  under different urls, the lexicographically-first url wins here, whereas
+  the reference keeps the first in sorted-file/row order. Provenance
+  columns of the survivor can differ; the surviving KEY set is identical.
 - **cross-batch**: a left-anti join of the incoming batch against the
   committed key projection. At 100 TB the committed side is pruned to the
   incoming batch's ``warc_ts`` day range before the join — the same

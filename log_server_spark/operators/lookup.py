@@ -35,9 +35,8 @@ def get_records(records: DataFrame, table: str, record_id: str | int) -> DataFra
     )
 
 
-def get_records_json(records: DataFrame, table: str, record_id: str | int) -> DataFrame:
-    """JSON-shaped output (S8): one `json` string column per record."""
-    df = get_records(records, table, record_id)
+def to_json_records(df: DataFrame) -> DataFrame:
+    """JSON-shaped output (S8) for an already-filtered record frame."""
     return df.select(
         F.to_json(
             F.struct(
@@ -48,3 +47,8 @@ def get_records_json(records: DataFrame, table: str, record_id: str | int) -> Da
             )
         ).alias("json")
     )
+
+
+def get_records_json(records: DataFrame, table: str, record_id: str | int) -> DataFrame:
+    """JSON-shaped output (S8): one `json` string column per record."""
+    return to_json_records(get_records(records, table, record_id))

@@ -42,19 +42,32 @@ except ImportError:
     _HAS_PIL = False
 
 
+def _byte_stats(p) -> tuple[float, float]:
+    arr = np.frombuffer(bytes(p), dtype=np.uint8) if p is not None and len(p) else np.zeros(1, np.uint8)
+    return float(arr.mean()), float(arr.std())
+
+
 def _decode_image_batch(payloads: pd.Series) -> np.ndarray:
     """Return (batch, 2) [mean, std] pixel features.
 
-    Real path uses PIL; the deterministic fake treats the payload bytes
-    themselves as the 'pixels' so tests exercise identical plumbing.
+    With PIL present, each payload is decoded as an image and the features
+    are real pixel statistics; payloads PIL cannot decode (and every payload
+    when PIL is absent) fall back to deterministic byte statistics, so the
+    plumbing behaves identically — and keeps working — in both environments.
     """
-    if _HAS_PIL:  # pragma: no cover
-        raise NotImplementedError("real decoder wiring pending codec availability")
     out = np.zeros((len(payloads), 2), dtype=np.float64)
     for i, p in enumerate(payloads):
-        arr = np.frombuffer(bytes(p), dtype=np.uint8) if p is not None and len(p) else np.zeros(1, np.uint8)
-        out[i, 0] = float(arr.mean())
-        out[i, 1] = float(arr.std())
+        if _HAS_PIL and p is not None and len(p):
+            import io
+
+            try:
+                with Image.open(io.BytesIO(bytes(p))) as img:
+                    px = np.asarray(img.convert("L"), dtype=np.float64)
+                out[i] = (float(px.mean()), float(px.std()))
+                continue
+            except Exception:
+                pass  # undecodable bytes -> byte-stats fallback below
+        out[i] = _byte_stats(p)
     return out
 
 

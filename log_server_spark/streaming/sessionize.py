@@ -60,7 +60,12 @@ def _sessionize_group(
                 closed.append((start, last, n, sv))
                 start, last, n, sv = ts, ts, 1, float(val)
             else:
-                last, n, sv = ts, n + 1, sv + float(val)
+                # a late-but-within-watermark event from an earlier micro-batch
+                # may have ts < last (or even < start): it must EXTEND the open
+                # session, never move its bounds or the event-time timeout
+                # backwards (session_end < session_start otherwise)
+                start, last = min(start, ts), max(last, ts)
+                n, sv = n + 1, sv + float(val)
 
     state.update((start, last, n, sv))
     state.setTimeoutTimestamp(last + GAP_MS)

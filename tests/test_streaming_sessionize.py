@@ -53,3 +53,60 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     assert got, "stream emitted no closed sessions"
     assert got <= batch_all, f"stream emitted sessions not in batch: {got - batch_all}"
     assert len(got & want_closed) >= len(want_closed) * 0.5
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _sessionize_group directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def test_late_event_cannot_move_session_backwards():
+    """A late-but-within-watermark event arriving in a later micro-batch must
+    extend the open session without regressing last/session_end (ADVICE r1)."""
+    import pandas as pd
+
+    from log_server_spark.streaming.sessionize import _sessionize_group
+
+    state = _FakeState()
+    t0 = 1_700_000_000_000
+    # micro-batch 1: two events at t0 and t0+10min
+    list(_sessionize_group(
+        (1,), iter([pd.DataFrame({"ts_ms": [t0, t0 + 600_000], "event_id": [1, 2], "value": [1.0, 1.0]})]), state
+    ))
+    start, last, n, sv = state.get
+    assert (start, last, n) == (t0, t0 + 600_000, 2)
+    timeout_before = state.timeout
+    # micro-batch 2: a LATE event at t0+5min (before last, within gap)
+    list(_sessionize_group(
+        (1,), iter([pd.DataFrame({"ts_ms": [t0 + 300_000], "event_id": [3], "value": [1.0]})]), state
+    ))
+    start, last, n, sv = state.get
+    assert start == t0 and last == t0 + 600_000 and n == 3  # no regression
+    assert state.timeout == timeout_before  # event-time timeout never moves back
+    # and a late event BEFORE the session start widens start, not end
+    list(_sessionize_group(
+        (1,), iter([pd.DataFrame({"ts_ms": [t0 - 60_000], "event_id": [4], "value": [1.0]})]), state
+    ))
+    start, last, n, sv = state.get
+    assert start == t0 - 60_000 and last == t0 + 600_000 and n == 4
