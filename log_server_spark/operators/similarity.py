@@ -300,3 +300,67 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("cosine", 4).alias("cosine_r"))
     )
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    centroid_mod: int = 97,
+    centroid_rem: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning.
+
+    The coarse quantizer is a deterministic sample of the corpus itself
+    (rows with ``id % centroid_mod == centroid_rem`` act as centroids — the
+    k-means-free variant; on a real corpus you would drop in trained
+    centroids, the plan shape is identical). Every corpus vector is
+    assigned to its max-cosine centroid (one broadcast join against the
+    tiny centroid set — no collect, no shuffle of the corpus); a query
+    probes its ``nprobe`` nearest centroids' inverted lists and scores
+    exact cosine inside. All float math is left-fold double adds over the
+    stored element order, so assignments are bit-for-bit reproducible in
+    any engine (SQL-oracle-checkable, like ``ann_rademacher_topk``).
+
+    Scale shape at 10^9+ vectors: assignment is a map-side broadcast
+    NLJ over K centroids; the probe join is an equi-join on centroid id
+    with expected list length n/K — the classic IVF cost dial (K, nprobe).
+    """
+    cent = corpus.filter(
+        F.pmod(F.col(id_col), F.lit(centroid_mod)) == F.lit(centroid_rem)
+    ).select(F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_v"))
+    cent = cent.withColumn("cent_n", _norm(F.col("cent_v")))
+
+    def _assign(frame: DataFrame, idname: str, vname: str) -> DataFrame:
+        scored = frame.join(F.broadcast(cent)).withColumn(
+            "cent_cos",
+            _dot(F.col(vname), F.col("cent_v")) / (_norm(F.col(vname)) * F.col("cent_n")),
+        )
+        w = Window.partitionBy(idname).orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
+        return scored.withColumn("cent_rank", F.row_number().over(w))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    lists = _assign(c, "neighbor_id", "cv").filter(F.col("cent_rank") == 1).select(
+        "neighbor_id", "cv", "cent_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    probes = _assign(q, "query_id", "qv").filter(F.col("cent_rank") <= nprobe).select(
+        "query_id", "qv", "cent_id"
+    )
+    joined = lists.join(F.broadcast(probes), "cent_id").withColumn(
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 4).alias("cosine_r"),
+        )
+    )

@@ -405,6 +405,68 @@ FROM s QUALIFY rank <= {k}
 SQL_EMBEDDING_ANN_LSH = _ann_sql()
 
 
+def q_embedding_ann_ivf(spark, sf_dir):
+    """Oracle-checked IVF ANN: deterministic coarse quantizer (corpus-sample
+    centroids), max-cosine assignment, nprobe inverted-list probe."""
+    from log_server_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5), k=3, nprobe=2
+    )
+
+
+def _ivf_sql(k: int = 3, nprobe: int = 2, mod: int = 97, rem: int = 5) -> str:
+    # every float reduction is a left fold (list_reduce) over the stored
+    # element order — bit-identical to the Spark aggregate() expressions
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+        )
+
+    def nrm(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform({a}, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), "
+            f"(x, y) -> x + y))"
+        )
+
+    return f"""
+WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+              WHERE vec_id >= 5 AND vec_id % {mod} = {rem}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+lists AS (
+  SELECT neighbor_id, cv, cent_id FROM (
+    SELECT neighbor_id, cv, cent_id,
+           row_number() OVER (PARTITION BY neighbor_id
+                              ORDER BY {dot('cv', 'ce')} / ({nrm('cv')} * {nrm('ce')}) DESC,
+                                       cent_id ASC) AS r
+    FROM c, cent) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT query_id, qv, cent_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {dot('qv', 'ce')} / ({nrm('qv')} * {nrm('ce')}) DESC,
+                                       cent_id ASC) AS r
+    FROM q, cent) WHERE r <= {nprobe}
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         {dot('qv', 'cv')} / ({nrm('qv')} * {nrm('cv')}) AS cos
+  FROM lists JOIN probes USING (cent_id)
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+       round(cos, 4) AS cosine_r
+FROM s QUALIFY rank <= {k}
+"""
+
+
+SQL_EMBEDDING_ANN_IVF = _ivf_sql()
+
+
 # --- multimodal plumbing -----------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
@@ -490,6 +552,7 @@ REGISTRY_ML: dict[str, tuple] = {
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_ann_lsh": (q_embedding_ann_lsh, SQL_EMBEDDING_ANN_LSH),
+    "embedding_ann_ivf": (q_embedding_ann_ivf, SQL_EMBEDDING_ANN_IVF),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": (q_multimodal_features, None),
 }

@@ -144,3 +144,29 @@ def test_block_neardup_equals_bruteforce(emb):
             if ids[i] < ids[j] and sims[i, j] >= 0.45:
                 want[(int(ids[i]), int(ids[j]))] = round(float(sims[i, j]), 4)
     assert got == want
+
+
+def test_ivf_recall_vs_exact(emb):
+    """IVF with nprobe=2 over ~20 corpus-sample centroids must recover a
+    reasonable share of the exact top-3 (and rank-1 for most queries)."""
+    from log_server_spark.operators.similarity import ann_ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, corpus, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(queries, corpus, k=3, nprobe=2).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.4
+    # scores of returned pairs are EXACT cosines (verified inside buckets)
+    exact500 = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_r"]
+        for r in cosine_topk(queries, corpus, k=500).collect()
+    }
+    from log_server_spark.operators.similarity import ann_ivf_topk as _  # noqa: F401
+    for r in ann_ivf_topk(queries, corpus, k=3, nprobe=2).collect():
+        assert abs(exact500[(r["query_id"], r["neighbor_id"])] - r["cosine_r"]) < 1e-9
