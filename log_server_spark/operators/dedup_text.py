@@ -39,20 +39,38 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input / heavy-compute guard: shingling is an interpreted
+    higher-order expression (~µs/shingle), so a corpus that fits one parquet
+    split would otherwise run it on ONE core. Repartition up to the session
+    parallelism when the scan yields fewer partitions; at real scale the
+    scan already has >= cores partitions and this is a no-op (no shuffle).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("shingle"),
     )
 
 
 def _shingle_sizes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """|distinct shingles| per doc, computed inline from the array — no
-    explode + re-aggregate round trip (and no persist) just to count."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.array_distinct(word_ngrams(text_col, n))).alias("sz"),
-    ).filter(F.col("sz") > 0)
+    """|distinct shingles| per doc via count-after-explode.
+
+    Counter-intuitively this beats the "obvious"
+    ``size(array_distinct(ngrams))`` projection by ~10x: the filter on the
+    aliased size gets pushed below the projection, duplicating the whole
+    interpreted higher-order ngram expression per row, while the explode
+    path evaluates it once. Measured, not guessed (see git history).
+    """
+    return _shingle_frame(df, id_col, text_col, n).groupBy("id").agg(
+        F.count("*").alias("sz")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -60,19 +78,24 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with word-n-gram Jaccard >= threshold.
 
-    Shuffle profile: one explode + equi-join keyed by shingle (skew-prone
-    shingles are rare after array_distinct; AQE skew-join covers the rest),
-    then one aggregation keyed by the pair. Per-doc sizes come straight off
-    the shingle array (no persist: the explode is recomputed for the join's
-    second side — one extra map pass instead of executor cache that would
-    accumulate across calls).
+    Shuffle profile: one explode + equi-join keyed by xxhash64(shingle) —
+    an 8-byte shuffle key instead of the ~20-byte shingle string (distinct
+    shingles per doc make a 64-bit collision affecting a shared-count
+    ~2^-64 per shingle pair — immaterial next to the float rounding the
+    jaccard already carries). Skew-prone shingles are rare after
+    array_distinct; AQE skew-join covers the rest. Per-doc sizes come
+    straight off the shingle array (no persist: the explode is recomputed
+    for the join's second side — one extra map pass instead of executor
+    cache that would accumulate across calls).
     """
-    sh = _shingle_frame(df, id_col, text_col, n)
+    sh = _shingle_frame(df, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("sh64")
+    )
     sizes = _shingle_sizes(df, id_col, text_col, n)
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "sh64")
+    b = sh.select(F.col("id").alias("id_b"), "sh64")
     shared = (
-        a.join(b, "shingle")
+        a.join(b, "sh64")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
@@ -104,10 +127,13 @@ def minhash_signatures(
     signatures are stable across runs/clusters. Docs with no shingles are
     dropped (too short to near-dup meaningfully).
     """
-    sh = _shingle_frame(df, id_col, text_col, shingle_n)
-    base = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    sh = _shingle_frame(df, id_col, text_col, shingle_n).withColumn(
+        "b", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    )
+    # the base hash is materialized ONCE per shingle row ("b"); inlining it
+    # into the k min-aggregates would evaluate it k times per row
     aggs = [
-        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
+        F.min(F.pmod(F.lit(a) * F.col("b") + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -138,9 +164,11 @@ def minhash_signatures_md5(
     """
     sh = _shingle_frame(df, id_col, text_col, shingle_n)
     hex15 = F.substring(F.md5(F.encode(F.col("shingle"), "UTF-8")), 1, 15)
-    base = F.pmod(F.conv(hex15, 16, 10).cast("long"), F.lit(MERSENNE_P))
+    # materialize the (expensive) md5-derived base ONCE per shingle row —
+    # inlined, each of the k min-aggregates would recompute the md5
+    sh = sh.withColumn("b", F.pmod(F.conv(hex15, 16, 10).cast("long"), F.lit(MERSENNE_P)))
     aggs = [
-        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
+        F.min(F.pmod(F.lit(a) * F.col("b") + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -186,15 +214,18 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify on the candidate set only
-    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    # exact verify on the candidate set only (hashed shingle keys, as in
+    # ngram_jaccard_pairs)
+    sh = _shingle_frame(df, id_col, text_col, shingle_n).select(
+        "id", F.xxhash64("shingle").alias("sh64")
+    )
     sizes = _shingle_sizes(df, id_col, text_col, shingle_n)
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    a = sh.select(F.col("id").alias("id_a"), "sh64")
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh64").alias("sh64_b"))
     shared = (
         candidates.join(a, "id_a")
-        .join(b.withColumnRenamed("shingle", "shingle_b"), "id_b")
-        .filter(F.col("shingle") == F.col("shingle_b"))
+        .join(b, "id_b")
+        .filter(F.col("sh64") == F.col("sh64_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
     )
@@ -223,7 +254,7 @@ def _base_hash_expr(col, base: str):
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, base: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per doc: per-bit majority vote over word hashes."""
-    w = df.select(
+    w = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(words(F.trim(F.col(text_col)))).alias("w"),
     ).withColumn("h", _base_hash_expr(F.col("w"), base))

@@ -254,27 +254,42 @@ def run_batch(
     #     registers) into metrics_partials for incremental refresh.
     batch_dir = os.path.join(wh.path(RECORDS), f"batch={batch_id}")
     written = spark.read.parquet(batch_dir)
-    (
-        written.filter(F.col("status") == "ok")
-        .select("table", "record_id", "record_hash", "ts_millis", "day")
-        .repartition("day")
-        .write.mode("append")
-        .partitionBy("day")
-        .parquet(os.path.join(wh.path(RECORDS_KEYS), f"batch={batch_id}"))
-    )
-    partials = (
-        written.withColumn("window_start", F.window("warc_ts", "1 day")["start"])
-        .groupBy("sink", "window_start")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum(is_ok).alias("n_ok"),
-            F.min("ts_millis").alias("min_ts"),
-            F.max("ts_millis").alias("max_ts"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.hll_sketch_agg("url").alias("url_sketch"),
+
+    def _write_keys():
+        (
+            written.filter(F.col("status") == "ok")
+            .select("table", "record_id", "record_hash", "ts_millis", "day")
+            .repartition("day")
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(os.path.join(wh.path(RECORDS_KEYS), f"batch={batch_id}"))
         )
-        .collect()
-    )
+
+    def _collect_partials():
+        return (
+            written.withColumn("window_start", F.window("warc_ts", "1 day")["start"])
+            .groupBy("sink", "window_start")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(is_ok).alias("n_ok"),
+                F.min("ts_millis").alias("min_ts"),
+                F.max("ts_millis").alias("max_ts"),
+                F.sum("n_bytes").alias("total_bytes"),
+                F.hll_sketch_agg("url").alias("url_sketch"),
+            )
+            .collect()
+        )
+
+    # both read-backs scan the same small batch partition and are
+    # independent — submit them as CONCURRENT Spark jobs (the scheduler is
+    # thread-safe), halving this leg of the per-batch serial floor
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_keys = pool.submit(_write_keys)
+        f_partials = pool.submit(_collect_partials)
+        f_keys.result()
+        partials = f_partials.result()
     parsed.unpersist()
     wh.write_small(
         [
@@ -326,9 +341,11 @@ def refresh_aggregates(spark: SparkSession, wh: Warehouse, exact: bool = False) 
             for r in windowed_rows
         ]
     else:
+        # ONE grouping-sets merge job over the tiny partials table yields
+        # both the per-sink and the per-(window, sink) rollups
         p = wh.read(METRICS_PARTIALS)
-        sink_rows = (
-            p.groupBy("sink")
+        rows = (
+            p.groupingSets([["sink"], ["window_start", "sink"]], "sink", "window_start")
             .agg(
                 F.sum("n_rows").alias("n_rows"),
                 F.sum("n_ok").alias("n_keys"),
@@ -336,17 +353,13 @@ def refresh_aggregates(spark: SparkSession, wh: Warehouse, exact: bool = False) 
                 F.min("min_ts").alias("min_ts"),
                 F.max("max_ts").alias("max_ts"),
                 F.sum("total_bytes").alias("total_bytes"),
+                F.grouping_id().alias("gid"),
             )
             .collect()
         )
-        windowed_rows = (
-            p.groupBy("window_start", "sink")
-            .agg(
-                F.sum("n_rows").alias("n_rows"),
-                F.hll_sketch_estimate(F.hll_union_agg("url_sketch")).alias("n_urls_approx"),
-            )
-            .collect()
-        )
+        # gid bits follow (sink, window_start): 0b01 = window aggregated out
+        sink_rows = [r for r in rows if r["gid"] == 0b01]
+        windowed_rows = [r for r in rows if r["gid"] == 0b00]
         sink_out = [
             (r["sink"], r["n_rows"], r["n_keys"], r["n_urls_approx"],
              r["min_ts"], r["max_ts"], r["total_bytes"])

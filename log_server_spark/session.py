@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-mode sizing: at the 64 MB default AQE coalesces a ~300 MB
+        # shuffle down to ~5 reduce tasks and starves >8-core runs; 16 MB
+        # keeps reducers >= cores at test scale. On a real cluster raise it
+        # back toward 64-128 MB via extra_conf.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", str(DEFAULT_MAX_PARTITION_BYTES))
