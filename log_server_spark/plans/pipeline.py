@@ -193,6 +193,13 @@ def run_batch(
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
 
+    _t0 = time.time()
+    _marks: list[tuple[str, float]] = []
+
+    def _mark(phase: str) -> None:
+        if os.environ.get("LSS_TIMING"):
+            _marks.append((phase, time.time()))
+
     pages = spark.read.parquet(*files)
     parsed = parse_pages(pages).withColumn("day", F.to_date("warc_ts"))
     parsed.persist(getattr(StorageLevel, os.environ.get("LSS_PERSIST_LEVEL", "MEMORY_AND_DISK")))
@@ -214,6 +221,7 @@ def run_batch(
     ts_range = (st["lo"], st["hi"]) if st["lo"] is not None else None
     n_ok = st["n_ok"] or 0
     n_pages = st["n_pages"] or 0
+    _mark("parse+stats")
 
     kept = anti_join_committed(kept, _committed_keys(wh, ts_range))
 
@@ -240,6 +248,7 @@ def run_batch(
         *[F.col(c) for c in partition_cols], F.pmod(F.hash("url"), F.lit(salt))
     )
     out.write.mode("append").partitionBy("batch", *partition_cols).parquet(wh.path(RECORDS))
+    _mark("write")
 
     got = obs.get
     added = int(got["n_added"] or 0)
@@ -291,6 +300,7 @@ def run_batch(
         f_keys.result()
         partials = f_partials.result()
     parsed.unpersist()
+    _mark("readbacks")
     wh.write_small(
         [
             (batch_id, r["sink"], r["window_start"], r["n_rows"], r["n_ok"],
@@ -313,6 +323,16 @@ def run_batch(
         LINEAGE,
         filename=batch_id,
     )
+    _mark("bookkeeping")
+    if os.environ.get("LSS_TIMING"):
+        import sys
+
+        prev = _t0
+        spans = []
+        for phase, at in _marks:
+            spans.append(f"{phase}={at - prev:.2f}s")
+            prev = at
+        print(f"[timing] {batch_id}: " + " ".join(spans), file=sys.stderr)
     return BatchResult(batch_id, files, added, n_dups, n_errors)
 
 

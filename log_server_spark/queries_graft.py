@@ -93,6 +93,11 @@ def synth_legacy_pages(docs: DataFrame, url_id: str = "doc_id", content_id: str 
         )
     )
     html_s = F.concat(chunk1, F.lit("\n\n---- "), body2)
+    # small-input/heavy-compute guard: the documents table fits one parquet
+    # split, which would run the downstream Arrow parse on a single core
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     return docs.select(
         F.concat(F.lit("doc://"), F.lpad(F.col(url_id).cast("string"), 6, "0")).alias("url"),
         F.timestamp_seconds(F.lit(E0)).alias("warc_ts"),
