@@ -28,13 +28,17 @@ class Warehouse:
         self.root = root
         self.spark = spark
         os.makedirs(root, exist_ok=True)
-        self._recover_interrupted_archive()
 
     def _recover_interrupted_archive(self) -> None:
         """Finish a crashed ``archive`` swap (see cli.cmd_archive): the swap
         is rename(records -> records.old); rename(.compact -> records);
         rm(records.old) — a crash leaves either both records and records.old
-        (drop the old copy) or only records.old (restore it)."""
+        (drop the old copy) or only records.old (restore it).
+
+        Runs on LOCK ACQUISITION, never unlocked: an unlocked recovery could
+        "finish" a swap another process is legitimately mid-way through
+        under the lock (restoring records.old while the owner is about to
+        rename .compact into place)."""
         old = self.path("records.old")
         if not os.path.isdir(old):
             return
@@ -64,13 +68,29 @@ class Warehouse:
                 os.close(fd)
                 break
             except FileExistsError:
+                owner = None
+                alive = False
                 try:
                     with open(lock_path) as f:
                         owner = int(f.read().strip() or "0")
-                    os.kill(owner, 0)  # raises if the owner is gone
+                    os.kill(owner, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False  # owner pid is gone: stale
+                except PermissionError:
+                    alive = True  # owner is alive under another uid
                 except (OSError, ValueError):
+                    alive = False  # unreadable/corrupt lock: stale
+                if not alive:
+                    # steal via rename: exactly ONE contender wins the
+                    # rename (the loser gets FileNotFoundError and loops),
+                    # closing the read-check-unlink TOCTOU where two
+                    # waiters both "remove the stale lock" and both end up
+                    # holding their own fresh one
+                    stale = f"{lock_path}.stale-{os.getpid()}"
                     with contextlib.suppress(FileNotFoundError):
-                        os.remove(lock_path)  # stale lock from a dead run
+                        os.rename(lock_path, stale)
+                        os.remove(stale)
                     continue
                 if time.monotonic() >= deadline:
                     raise WarehouseLockTimeout(
@@ -78,6 +98,7 @@ class Warehouse:
                     ) from None
                 time.sleep(poll)
         try:
+            self._recover_interrupted_archive()
             yield self
         finally:
             with contextlib.suppress(FileNotFoundError):

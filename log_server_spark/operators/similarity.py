@@ -87,10 +87,22 @@ def cosine_neardup_pairs(
     packed = base.groupBy("blk").agg(F.collect_list(F.struct("id", "v")).alias("items"))
     a = packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
     b = packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
-    # B rows per side: the "join" is a tiny broadcast NLJ producing one row
-    # per block pair; the heavy payloads ride inside the rows
-    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
-        n_blocks * (n_blocks + 1) // 2, "blk_a", "blk_b"
+    # the unordered block pairs as a LITERAL index frame, equi-joined to the
+    # payloads: a `blk_a <= blk_b` theta join would plan as a broadcast
+    # nested-loop that ships the whole packed corpus through the driver —
+    # precisely what this operator exists to avoid. Two hash joins replicate
+    # each block's payload to its ~B/2 partner cells executor-side (the
+    # irreducible data duplication of exact all-pairs), and a round-robin
+    # repartition gives every pair cell its own task.
+    spark = df.sparkSession
+    pair_idx = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_a long, blk_b long",
+    )
+    pairs = (
+        a.join(F.broadcast(pair_idx), "blk_a")
+        .join(b.hint("shuffle_hash"), "blk_b")
+        .repartition(n_blocks * (n_blocks + 1) // 2)
     )
 
     def _unpack(items) -> tuple[np.ndarray, np.ndarray]:

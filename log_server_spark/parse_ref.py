@@ -49,7 +49,7 @@ DELIMITER = b"\n\n---- "
 MAX_PAYLOAD_BYTES = 1 << 20  # Storage.scala:19
 _JAVA_WS = "".join(chr(c) for c in range(0x21))  # chars <= U+0020
 _ID_RE = re.compile(r" id:(\S+)")
-_INT_RE = re.compile(r"-?\d+")
+_INT_RE = re.compile(r"[+-]?\d+")  # Scala toInt accepts an optional +/- sign
 _TABLE_RE = re.compile(r" table:(\S+)")
 
 OK = "ok"

@@ -76,6 +76,9 @@ METRICS_SINK = "metrics_sink_stats"
 METRICS_WINDOWED = "metrics_windowed"
 
 LINEAGE_SCHEMA = "batch string, unit string, status string, n_pages long, committed_at double"
+INGEST_SCHEMA = (
+    "batch string, n_pages long, added long, duplicates long, errors long, committed_at double"
+)
 PARTIALS_SCHEMA = (
     "batch string, sink string, window_start timestamp, n_rows long, n_ok long, "
     "min_ts long, max_ts long, total_bytes long, url_sketch binary"
@@ -113,6 +116,27 @@ def _committed_batches(wh: Warehouse) -> dict[str, frozenset]:
     return {b: frozenset(u) for b, u in out.items()}
 
 
+def _rewrite_without_batch(wh: Warehouse, table: str, batch_id: str) -> None:
+    """Drop one batch's rows from a tiny bookkeeping table whose files are
+    NOT named by batch id (legacy timestamp-named files from round 1).
+    Driver-side pyarrow rewrite — these tables are O(batches) rows."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = wh.path(table)
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return
+    t = pq.read_table(d)
+    kept = t.filter(pc.field("batch") != batch_id)
+    if kept.num_rows == t.num_rows:
+        return
+    for f in files:
+        os.remove(f)
+    if kept.num_rows:
+        pq.write_table(kept, os.path.join(d, f"part-rewrite-{time.time_ns():020d}.parquet"))
+
+
 def _drop_batch(wh: Warehouse, batch_id: str) -> None:
     """Remove every trace of a batch: data partitions + per-batch bookkeeping
     files. Used for torn writes and for batches whose lineage no longer
@@ -125,6 +149,11 @@ def _drop_batch(wh: Warehouse, batch_id: str) -> None:
         f = os.path.join(wh.path(table), f"part-{batch_id}.parquet")
         if os.path.isfile(f):
             os.remove(f)
+        elif os.path.isdir(wh.path(table)):
+            # legacy timestamp-named bookkeeping: rewrite the table without
+            # this batch's rows or they would poison unit-list validation
+            # (and ingest-metric sums) on every subsequent resume
+            _rewrite_without_batch(wh, table, batch_id)
 
 
 def _committed_keys(wh: Warehouse, ts_range: tuple | None = None) -> DataFrame | None:
@@ -250,18 +279,39 @@ def run_batch(
     out.write.mode("append").partitionBy("batch", *partition_cols).parquet(wh.path(RECORDS))
     _mark("write")
 
-    got = obs.get
-    added = int(got["n_added"] or 0)
-    n_errors = int(got["n_routed"] or 0) - added
-    # covers in-batch AND cross-batch dups — the reference counts both
-    n_dups = int(n_ok) - added
-
     # read the just-written batch partition back (small, column-pruned):
     # (a) append its dedup keys to the day-partitioned keys table — the
     #     .hash index file of this "segment" (HeaderStorage.scala:283-288);
     # (b) fold its partial aggregates (mergeable: sums/min/max + HLL sketch
     #     registers) into metrics_partials for incremental refresh.
     batch_dir = os.path.join(wh.path(RECORDS), f"batch={batch_id}")
+    if not os.path.isdir(batch_dir):
+        # zero-ROUTED batch: nothing written. Reachable only when every
+        # parseable record was a cross-batch duplicate AND no error rows
+        # existed — so duplicates = n_ok, errors = 0. Still commit lineage
+        # so resume skips it.
+        parsed.unpersist()
+        wh.write_small(
+            [(batch_id, n_pages, 0, int(n_ok), 0, time.time())],
+            INGEST_SCHEMA,
+            METRICS_INGEST,
+            filename=batch_id,
+        )
+        wh.write_small(
+            [(batch_id, u, "committed", n_pages, time.time()) for u in files],
+            LINEAGE_SCHEMA,
+            LINEAGE,
+            filename=batch_id,
+        )
+        return BatchResult(batch_id, files, 0, int(n_ok), 0)
+
+    # reading the observation on a zero-row write job fails JVM-side (no
+    # metrics row) — only reached here when the batch wrote data
+    got = obs.get
+    added = int(got["n_added"] or 0)
+    n_errors = int(got["n_routed"] or 0) - added
+    # covers in-batch AND cross-batch dups — the reference counts both
+    n_dups = int(n_ok) - added
     written = spark.read.parquet(batch_dir)
 
     def _write_keys():
@@ -313,7 +363,7 @@ def run_batch(
     )
     wh.write_small(
         [(batch_id, n_pages, added, n_dups, n_errors, time.time())],
-        "batch string, n_pages long, added long, duplicates long, errors long, committed_at double",
+        INGEST_SCHEMA,
         METRICS_INGEST,
         filename=batch_id,
     )
@@ -347,7 +397,23 @@ def refresh_aggregates(spark: SparkSession, wh: Warehouse, exact: bool = False) 
     slow path: one GROUPING SETS rescan of the records table with exact
     countDistinct (kept for audits; it is what round 1 always did).
     """
-    if exact or not wh.exists(METRICS_PARTIALS):
+    use_exact = exact or not wh.exists(METRICS_PARTIALS)
+    if not use_exact:
+        # merged results are only complete if EVERY committed batch with
+        # data contributed partials — a legacy (round-1) warehouse has
+        # committed batches that predate the partials table; merging would
+        # silently drop their rows from the published aggregates
+        have = {
+            r["batch"]
+            for r in wh.read(METRICS_PARTIALS).select("batch").distinct().collect()
+        }
+        with_data = {
+            os.path.basename(d).split("=", 1)[1]
+            for d in glob.glob(os.path.join(wh.path(RECORDS), "batch=*"))
+        }
+        if (set(_committed_batches(wh)) & with_data) - have:
+            use_exact = True
+    if use_exact:
         from log_server_spark.operators.aggregate import combined_stats
 
         _status, sink_rows, windowed_rows = combined_stats(wh.read(RECORDS))
@@ -446,6 +512,14 @@ def run_pipeline(
             if bid not in planned or done[bid] != frozenset(planned[bid]):
                 _drop_batch(wh, bid)
                 done.pop(bid)
+        # sweep TORN batch dirs (no lineage row at all) up front too: left
+        # in place, an earlier batch would anti-join against the stale
+        # uncommitted keys and drop rows that vanish for good when the torn
+        # batch is later rebuilt — silent data loss under id remapping
+        for table in (RECORDS, RECORDS_KEYS):
+            for d in glob.glob(os.path.join(wh.path(table), "batch=*")):
+                if os.path.basename(d).split("=", 1)[1] not in done:
+                    shutil.rmtree(d)
         for batch_id, files in batches:
             if batch_id in done:
                 continue

@@ -99,7 +99,9 @@ def synth_legacy_pages(docs: DataFrame, url_id: str = "doc_id", content_id: str 
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
     return docs.select(
-        F.concat(F.lit("doc://"), F.lpad(F.col(url_id).cast("string"), 6, "0")).alias("url"),
+        # lpad TRUNCATES beyond the pad width (both engines) — 12 digits
+        # keeps string order == numeric order up to 10^12 ids
+        F.concat(F.lit("doc://"), F.lpad(F.col(url_id).cast("string"), 12, "0")).alias("url"),
         F.timestamp_seconds(F.lit(E0)).alias("warc_ts"),
         F.col("lang"),
         F.encode(html_s, "UTF-8").alias("html"),

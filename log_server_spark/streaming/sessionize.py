@@ -59,13 +59,22 @@ def _sessionize_group(
             elif ts - last > GAP_MS:
                 closed.append((start, last, n, sv))
                 start, last, n, sv = ts, ts, 1, float(val)
-            else:
+            elif ts >= start - GAP_MS:
                 # a late-but-within-watermark event from an earlier micro-batch
-                # may have ts < last (or even < start): it must EXTEND the open
-                # session, never move its bounds or the event-time timeout
+                # may have ts < last (or even slightly < start): it EXTENDS the
+                # open session, never moving bounds or the event-time timeout
                 # backwards (session_end < session_start otherwise)
                 start, last = min(start, ts), max(last, ts)
                 n, sv = n + 1, sv + float(val)
+            else:
+                # an event more than GAP before the open session's start
+                # belongs to history this operator can no longer reopen
+                # (earlier sessions may already be emitted); emit it as its
+                # own historical session rather than bridging a gap the
+                # batch sessionizer would split. Known divergence: with
+                # watermark >> gap, a batch recompute could merge it with
+                # other equally-late events.
+                closed.append((ts, ts, 1, float(val)))
 
     state.update((start, last, n, sv))
     state.setTimeoutTimestamp(last + GAP_MS)

@@ -163,18 +163,24 @@ def test_resume_revalidates_unit_lists(spark, dataset, warehouse):
 
 
 def test_archive_crash_recovery(spark, warehouse):
-    """records.old present without records => restore; with records => drop."""
+    """records.old present without records => restore; with records => drop.
+
+    Recovery happens on LOCK ACQUISITION (never unlocked, or it would race
+    a live archive swap running under the lock in another process)."""
     records = warehouse.path(RECORDS)
     old = records + ".old"
     n = spark.read.parquet(records).count()
+    wh2 = Warehouse(warehouse.root, spark)
     # crash between rename(records->old) and rename(compact->records)
     os.rename(records, old)
-    wh2 = Warehouse(warehouse.root, spark)
+    with wh2.lock():
+        pass
     assert os.path.isdir(records) and not os.path.isdir(old)
     assert spark.read.parquet(records).count() == n
     # crash after swap, before rmtree(old)
     shutil.copytree(records, old)
-    Warehouse(warehouse.root, spark)
+    with wh2.lock():
+        pass
     assert os.path.isdir(records) and not os.path.isdir(old)
     assert wh2.read(RECORDS).count() == n
 
@@ -241,3 +247,61 @@ def test_multi_warehouse_get_fan_out(spark, dataset, warehouse, tmp_path_factory
     assert rc == 0
     out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert len(out) >= 2 and len(out) % 2 == 0
+
+
+def test_torn_batch_under_remap_loses_nothing(spark, dataset, tmp_path_factory):
+    """Review finding: a TORN batch's keys dirs must be swept before any
+    earlier batch runs, or under a batch-id remap the earlier batch
+    anti-joins against stale uncommitted keys and those rows vanish."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    pages = os.path.join(dataset, "pages")
+    wh_dir = str(tmp_path_factory.mktemp("torn_remap"))
+    run_pipeline(spark, pages, wh_dir, batch_files=2)
+    wh = Warehouse(wh_dir, spark)
+    key = lambda r: (r["table"], r["record_id"], r["ts_millis"] or -1, r["seq"])
+    want = sorted(key(r) for r in wh.read(RECORDS).collect())
+    # torn state: last batch has data + keys but NO lineage row
+    os.remove(os.path.join(wh.path("lineage"), "part-b00002.parquet"))
+    os.remove(os.path.join(wh.path(METRICS_PARTIALS), "part-b00002.parquet"))
+    # remap: 6 units -> 2 batches; torn b00002's dirs must not poison b00000/1
+    run_pipeline(spark, pages, wh_dir, batch_files=4)
+    got = sorted(key(r) for r in wh.read(RECORDS).collect())
+    assert got == want
+    assert wh.read(RECORDS_KEYS).count() == wh.read(RECORDS).filter(F.col("status") == "ok").count()
+
+
+def test_all_duplicate_batch_counts_duplicates(spark, dataset, tmp_path_factory):
+    """A batch whose every parseable record is a cross-batch duplicate (and
+    with no error rows) writes nothing — but must still report duplicates."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from log_server_spark.parse_ref import OK, parse_page
+
+    src = os.path.join(dataset, "pages")
+    base2 = str(tmp_path_factory.mktemp("dup_base"))
+    pages2 = os.path.join(base2, "pages")
+    os.makedirs(pages2)
+    for f in sorted(os.listdir(src)):
+        shutil.copy(os.path.join(src, f), pages2)
+    for lk in ("lang_lookup.parquet", "domain_lookup.parquet"):
+        shutil.copy(os.path.join(dataset, lk), base2)
+    wh_dir = str(tmp_path_factory.mktemp("dup_wh"))
+    run_pipeline(spark, pages2, wh_dir, batch_files=2)
+    # append one unit that is an ok-only subset of already-committed pages
+    t = pq.read_table(os.path.join(src, "part-00000.parquet"))
+    ok_rows = [
+        i for i in range(t.num_rows)
+        if all(r.status == OK for r in parse_page(t["html"][i].as_py()))
+    ]
+    sub = t.take(ok_rows[:50])
+    pq.write_table(sub, os.path.join(pages2, "part-99999.parquet"))
+    results = run_pipeline(spark, pages2, wh_dir, batch_files=2)
+    assert len(results) == 1
+    last = results[-1]
+    assert last.added == 0 and last.errors == 0
+    assert last.duplicates > 0  # every record was a cross-batch dup
+    wh = Warehouse(wh_dir, spark)
+    m = {r["batch"]: r for r in wh.read("metrics_ingest").collect()}
+    assert m[last.batch]["duplicates"] == last.duplicates
