@@ -12,6 +12,7 @@ plans/pipeline.py) hold for both backends.
 from __future__ import annotations
 
 import contextlib
+import glob
 import os
 import shutil
 import time
@@ -30,22 +31,38 @@ class Warehouse:
         os.makedirs(root, exist_ok=True)
 
     def _recover_interrupted_archive(self) -> None:
-        """Finish a crashed ``archive`` swap (see cli.cmd_archive): the swap
-        is rename(records -> records.old); rename(.compact -> records);
-        rm(records.old) — a crash leaves either both records and records.old
-        (drop the old copy) or only records.old (restore it).
+        """Finish any crashed table swap (``archive``'s records compaction or
+        a bookkeeping rewrite, see ``swap_in``): the swap protocol is
+        rename(T -> T.old); rename(T.<tmp> -> T); rm(T.old) — a crash leaves
+        either both T and T.old (drop the old copy) or only T.old (restore
+        it). Stale build dirs (``*.rewrite``/``*.compact`` next to a live
+        table) are incomplete builds and are discarded.
 
         Runs on LOCK ACQUISITION, never unlocked: an unlocked recovery could
         "finish" a swap another process is legitimately mid-way through
-        under the lock (restoring records.old while the owner is about to
-        rename .compact into place)."""
-        old = self.path("records.old")
-        if not os.path.isdir(old):
-            return
-        if os.path.isdir(self.path("records")):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, self.path("records"))
+        under the lock (restoring T.old while the owner is about to
+        rename the build dir into place)."""
+        for old in glob.glob(os.path.join(self.root, "*.old")):
+            base = old[: -len(".old")]
+            if os.path.isdir(base):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, base)
+        for suffix in (".rewrite", ".compact"):
+            for tmp in glob.glob(os.path.join(self.root, "*" + suffix)):
+                if os.path.isdir(tmp[: -len(suffix)]):
+                    shutil.rmtree(tmp)
+
+    def swap_in(self, name: str, build_dir: str) -> None:
+        """Atomically-enough replace table ``name`` with the fully-built
+        ``build_dir``: ``name`` is never absent without ``name.old`` present,
+        so a crash at any point is recoverable on the next lock acquisition.
+        Caller must hold the warehouse lock."""
+        d = self.path(name)
+        old = d + ".old"
+        os.rename(d, old)
+        os.rename(build_dir, d)
+        shutil.rmtree(old)
 
     @contextlib.contextmanager
     def lock(self, timeout: float = 60.0, poll: float = 0.25):

@@ -60,6 +60,14 @@ def combined_stats(records: DataFrame, window: str = "1 day"):
     driver-side.
     """
     base = records.withColumn("window_start", F.window("warc_ts", window)["start"])
+    # n_keys counts distinct dedup keys of status='ok' rows ONLY: error rows
+    # bypass dedup (their keys can repeat), and the merged-partials refresh
+    # path publishes sum(n_ok) — by the dedup invariant every committed ok
+    # row holds a globally unique key, so both paths agree, including for
+    # the error sink (countDistinct skips the nulls the `when` produces)
+    ok_key = F.when(
+        F.col("status") == "ok", F.struct("table", "record_id", "record_hash")
+    )
     agg = base.groupingSets(
         [["status"], ["sink"], ["window_start", "sink"]],
         "status", "sink", "window_start",
@@ -67,7 +75,7 @@ def combined_stats(records: DataFrame, window: str = "1 day"):
         F.count("*").alias("n_rows"),
         F.countDistinct("url").alias("n_urls"),
         F.approx_count_distinct("url").alias("n_urls_approx"),
-        F.countDistinct("table", "record_id", "record_hash").alias("n_keys"),
+        F.countDistinct(ok_key).alias("n_keys"),
         F.min("ts_millis").alias("min_ts"),
         F.max("ts_millis").alias("max_ts"),
         F.sum("n_bytes").alias("total_bytes"),

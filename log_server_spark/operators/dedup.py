@@ -18,7 +18,8 @@ Spark restatement, scale-first:
   columns of the survivor can differ; the surviving KEY set is identical.
 - **cross-batch**: a left-anti join of the incoming batch against the
   committed key projection. At 100 TB the committed side is pruned to the
-  incoming batch's ``warc_ts`` day range before the join — the same
+  incoming batch's record-ts (``ts_millis``) day range before the join —
+  sound because the content hash folds ts_millis, and it is the same
   timestamp-range probe gate the reference applies per segment
   (BigStorage.scala:30) — and AQE's skew-join handles hot keys.
 """

@@ -1,0 +1,219 @@
+"""Round-3 regressions: keys-day soundness, resume=False bookkeeping drop,
+legacy-row sweep alongside per-batch files, n_keys path agreement, and
+crash-recoverable bookkeeping rewrites (ADVICE.md round 2, all five items)."""
+
+import glob
+import os
+import shutil
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from log_server_spark.catalog import Warehouse
+from log_server_spark.datagen import gen_domain_lookup, gen_lang_lookup, write_dataset
+from log_server_spark.plans.pipeline import (
+    LINEAGE,
+    METRICS_INGEST,
+    METRICS_PARTIALS,
+    METRICS_SINK,
+    RECORDS,
+    RECORDS_KEYS,
+    _drop_batch,
+    refresh_aggregates,
+    run_pipeline,
+)
+
+
+def _write_pages_unit(path: str, rows: list[tuple[str, datetime, str]]) -> None:
+    """rows: (url, warc_ts, html_str)."""
+    pa_rows = {
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+        "html": pa.array([r[2].encode() for r in rows], pa.binary()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    }
+    pq.write_table(pa.table(pa_rows), path)
+
+
+@pytest.fixture()
+def skewed_capture_dataset(tmp_path_factory):
+    """Pages whose CAPTURE day (warc_ts) is weeks away from the record-header
+    ts day — the case that exposed the warc-day keys partitioning hole."""
+    base = str(tmp_path_factory.mktemp("r3_skew"))
+    pages = os.path.join(base, "pages")
+    os.makedirs(pages)
+    # header ts 2024-03-01; capture (warc) days 2024-05-15 / 2024-06-20
+    html = "---- 2024-03-01 10:00:00 level:INFO table:users id:7 op:create\nhello body"
+    _write_pages_unit(
+        os.path.join(pages, "part-00000.parquet"),
+        [("https://a.example.com/p/1", datetime(2024, 5, 15, tzinfo=timezone.utc), html)],
+    )
+    _write_pages_unit(
+        os.path.join(pages, "part-00001.parquet"),
+        [
+            # exact cross-batch duplicate content, captured five weeks later
+            ("https://a.example.com/p/1b", datetime(2024, 6, 20, tzinfo=timezone.utc), html),
+            # plus one genuinely new record so the batch writes data
+            (
+                "https://a.example.com/p/2",
+                datetime(2024, 6, 20, tzinfo=timezone.utc),
+                "---- 2024-03-02 11:00:00 level:INFO table:users id:8 op:create\nother body",
+            ),
+        ],
+    )
+    pq.write_table(gen_lang_lookup(), os.path.join(base, "lang_lookup.parquet"))
+    pq.write_table(gen_domain_lookup(), os.path.join(base, "domain_lookup.parquet"))
+    return pages
+
+
+def test_keys_day_derived_from_record_ts_not_capture_ts(spark, skewed_capture_dataset, tmp_path_factory):
+    """ADVICE #1 (high): a committed duplicate whose capture day lies outside
+    the new batch's header-ts day window must STILL be caught by the
+    anti-join — keys-table day partitions must follow ts_millis."""
+    wh_dir = str(tmp_path_factory.mktemp("r3_skew_wh"))
+    r1 = run_pipeline(spark, skewed_capture_dataset, wh_dir, batch_files=1)
+    assert [b.added for b in r1[:1]] == [1]
+    dup_batch = r1[1]
+    assert dup_batch.added == 1, "only the genuinely new record is added"
+    assert dup_batch.duplicates == 1, "cross-batch dup caught despite capture-day skew"
+    wh = Warehouse(wh_dir, spark)
+    ok = wh.read(RECORDS).filter(F.col("status") == "ok")
+    assert ok.count() == 2  # never 3: the duplicate was not re-ingested
+    # physical check: keys day= dirs carry the record-ts days (March), not
+    # the capture days (May/June)
+    days = {
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(wh.path(RECORDS_KEYS), "batch=*", "day=*"))
+    }
+    assert days == {"2024-03-01", "2024-03-02"}
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3_data")
+    write_dataset(str(d), seed=11, n=400, num_files=4)
+    return str(d)
+
+
+def test_resume_false_then_crash_loses_nothing(spark, dataset, tmp_path_factory):
+    """ADVICE #2: resume=False must drop each batch's lineage/metrics along
+    with its data; otherwise a cutoff (max_batches, crash) mid-rerun leaves
+    later batches lineage-committed with no data and resume skips them."""
+    pages = os.path.join(dataset, "pages")
+    wh_dir = str(tmp_path_factory.mktemp("r3_nores_wh"))
+    run_pipeline(spark, pages, wh_dir, batch_files=2)
+    wh = Warehouse(wh_dir, spark)
+    key = lambda r: (r["table"], r["record_id"], r["ts_millis"] or -1, r["seq"], r["url"])
+    want = sorted(key(r) for r in wh.read(RECORDS).collect())
+    # fresh rerun that "crashes" after one batch (max_batches simulates it)
+    run_pipeline(spark, pages, wh_dir, batch_files=2, resume=False, max_batches=1)
+    # the follow-up resume run must reprocess the unfinished batch
+    run_pipeline(spark, pages, wh_dir, batch_files=2)
+    got = sorted(key(r) for r in wh.read(RECORDS).collect())
+    assert got == want
+    # ingest metrics carry exactly one row per live batch (no stale doubles)
+    m = wh.read(METRICS_INGEST).groupBy("batch").count().collect()
+    assert all(r["count"] == 1 for r in m)
+
+
+def test_drop_batch_sweeps_legacy_rows_even_with_per_batch_file(spark, dataset, tmp_path_factory):
+    """ADVICE #3: a batch can have BOTH a per-batch bookkeeping file and
+    leftover legacy (timestamp-named) rows; _drop_batch must remove both or
+    the stale rows re-poison unit-list validation on every resume."""
+    pages = os.path.join(dataset, "pages")
+    wh_dir = str(tmp_path_factory.mktemp("r3_legacy_wh"))
+    run_pipeline(spark, pages, wh_dir, batch_files=2)
+    wh = Warehouse(wh_dir, spark)
+    # plant legacy-named lineage rows for b00000 with a BOGUS unit set
+    pq.write_table(
+        pa.table(
+            {
+                "batch": pa.array(["b00000"]),
+                "unit": pa.array(["/nonexistent/poison.parquet"]),
+                "status": pa.array(["committed"]),
+                "n_pages": pa.array([1], pa.int64()),
+                "committed_at": pa.array([0.0], pa.float64()),
+            }
+        ),
+        os.path.join(wh.path(LINEAGE), "part-00000000000000000001.parquet"),
+    )
+    # run 1: unit-set mismatch -> b00000 dropped (file AND legacy rows) + rebuilt
+    r1 = run_pipeline(spark, pages, wh_dir, batch_files=2)
+    assert [b.batch for b in r1] == ["b00000"]
+    # run 2: if the legacy poison row survived, b00000 would reprocess forever
+    r2 = run_pipeline(spark, pages, wh_dir, batch_files=2)
+    assert r2 == []
+    units = {r["unit"] for r in wh.read(LINEAGE).collect()}
+    assert "/nonexistent/poison.parquet" not in units
+
+
+def test_exact_and_merged_refresh_agree_on_n_keys(spark, dataset, tmp_path_factory):
+    """ADVICE #4: exact (GROUPING SETS rescan) and merged (partials) refresh
+    paths must publish the SAME n_keys per sink — including the error sink,
+    whose rows bypass dedup."""
+    pages = os.path.join(dataset, "pages")
+    wh_dir = str(tmp_path_factory.mktemp("r3_nkeys_wh"))
+    run_pipeline(spark, pages, wh_dir, batch_files=2)
+    wh = Warehouse(wh_dir, spark)
+    refresh_aggregates(spark, wh, exact=True)
+    exact = {r["sink"]: r["n_keys"] for r in wh.read(METRICS_SINK).collect()}
+    refresh_aggregates(spark, wh, exact=False)
+    merged = {r["sink"]: r["n_keys"] for r in wh.read(METRICS_SINK).collect()}
+    assert exact == merged
+    assert "error" in exact  # fixture plants malformed pages
+
+
+def test_bookkeeping_rewrite_is_crash_recoverable(spark, dataset, tmp_path_factory):
+    """ADVICE #5: a crash at ANY point of the legacy-row rewrite leaves the
+    table restorable — recovery on lock acquisition finishes or rolls back
+    the swap, never leaving a wiped table."""
+    pages = os.path.join(dataset, "pages")
+    wh_dir = str(tmp_path_factory.mktemp("r3_swap_wh"))
+    run_pipeline(spark, pages, wh_dir, batch_files=2)
+    wh = Warehouse(wh_dir, spark)
+    n = wh.read(LINEAGE).count()
+    d = wh.path(LINEAGE)
+    # crash window A: replacement built, old renamed away, swap unfinished
+    shutil.copytree(d, d + ".rewrite")
+    os.rename(d, d + ".old")
+    with wh.lock():
+        pass
+    assert os.path.isdir(d) and not os.path.isdir(d + ".old")
+    assert not os.path.isdir(d + ".rewrite")
+    assert wh.read(LINEAGE).count() == n
+    # crash window B: swap done, old copy not yet removed
+    shutil.copytree(d, d + ".old")
+    with wh.lock():
+        pass
+    assert not os.path.isdir(d + ".old")
+    assert wh.read(LINEAGE).count() == n
+    # crash window C: build dir exists, swap not started -> stale build dropped
+    shutil.copytree(d, d + ".rewrite")
+    with wh.lock():
+        pass
+    assert not os.path.isdir(d + ".rewrite")
+    assert wh.read(LINEAGE).count() == n
+
+
+def test_drop_batch_rewrite_preserves_per_batch_files(spark, dataset, tmp_path_factory):
+    """The legacy-row rewrite must NOT fold per-batch files into the merged
+    rewrite file: a later overwrite of part-bNNNNN.parquet would then
+    double-count the rows living on in the merged file."""
+    pages = os.path.join(dataset, "pages")
+    wh_dir = str(tmp_path_factory.mktemp("r3_fold_wh"))
+    run_pipeline(spark, pages, wh_dir, batch_files=2)
+    wh = Warehouse(wh_dir, spark)
+    # legacy rows for b00001 next to the per-batch files
+    t = pq.read_table(os.path.join(wh.path(LINEAGE), "part-b00001.parquet"))
+    pq.write_table(t, os.path.join(wh.path(LINEAGE), "part-00000000000000000009.parquet"))
+    _drop_batch(wh, "b00001")
+    # b00000's per-batch file survives under its own name, b00001 fully gone
+    names = {os.path.basename(f) for f in glob.glob(os.path.join(wh.path(LINEAGE), "*.parquet"))}
+    assert "part-b00000.parquet" in names
+    assert "part-b00001.parquet" not in names
+    batches = {r["batch"] for r in wh.read(LINEAGE).collect()}
+    assert batches == {"b00000"}
