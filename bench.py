@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_md5",
     "token_count",
     "quality_score",
     "langid",
@@ -50,6 +51,28 @@ HEADLINE = [
     "embedding_neardup",
     "multimodal_meta",
 ]
+
+
+def _bench_overrides() -> dict:
+    """Production variants benched under the headline name.
+
+    ``dedup_minhash_lsh``'s queries() entry runs the md5-based base hash —
+    that variant exists so DuckDB can replay the math bit-for-bit (the
+    correctness twin), but a user runs the xxhash64 base (one JVM op vs
+    md5+substr+radix, ~2x cheaper per shingle). The headline number is the
+    production operator; the md5 twin is published alongside as
+    ``dedup_minhash_lsh_md5`` so the oracle path's cost stays visible.
+    """
+    from log_server_spark.operators.dedup_text import minhash_lsh_pairs
+
+    def _prod_lsh(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_pairs(
+            docs, "doc_id", "text",
+            num_hashes=16, bands=8, shingle_n=3, threshold=0.5, base="xxhash64",
+        )
+
+    return {"dedup_minhash_lsh": _prod_lsh}
 
 
 def _sf_from_dir(d: str) -> float:
@@ -226,6 +249,8 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
     qs = entry_mod.queries()
+    qs["dedup_minhash_lsh_md5"] = qs["dedup_minhash_lsh"]  # oracle twin, benched as itself
+    qs.update(_bench_overrides())
     for warm in ("route_counts", "info_stats"):
         qs[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     # best-of-REPS per query: this VM has minutes-long host storms (kernel

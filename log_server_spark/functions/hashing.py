@@ -86,7 +86,34 @@ def murmur3_32_batch(values, seed: int = 0) -> np.ndarray:
         if ln:
             buf[pos : pos + ln] = np.frombuffer(bytes(v), dtype=np.uint8)
             pos += ln
+    return murmur3_32_offsets(buf, offsets, lengths, seed)
 
+
+def murmur3_32_offsets(
+    buf: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, seed: int = 0
+) -> np.ndarray:
+    """Core of :func:`murmur3_32_batch` over an already-flattened byte buffer
+    with per-row (offset, length) — rows hash independently; the buffer can
+    be an Arrow string/binary data buffer viewed zero-copy as uint8.
+
+    Dispatches to the self-compiled C kernel (functions/_native.py,
+    ~1.5 GB/s/core) when a C compiler exists; otherwise runs the numpy
+    block-parallel scheme below — word ``i`` of every still-active row
+    processed simultaneously, O(total_bytes / 4) vector ops total."""
+    from log_server_spark.functions._native import native_murmur3_rows
+
+    n_rows = len(offsets)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    native = native_murmur3_rows()
+    if native is not None and n_rows:
+        buf_c = np.ascontiguousarray(buf)
+        out = np.empty(n_rows, dtype=np.int32)
+        native(
+            buf_c.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+            n_rows, seed & _M32, out.ctypes.data,
+        )
+        return out
     c1 = np.uint32(_C1)
     c2 = np.uint32(_C2)
     h = np.full(n_rows, np.uint32(seed & _M32), dtype=np.uint32)
@@ -155,10 +182,21 @@ def record_hash_batch(data_values, ts_millis: np.ndarray) -> np.ndarray:
     the fold is int32-truncate of ``(ts >> 32) ^ ts`` (Storage.scala:48-49).
     """
     m = murmur3_32_batch(data_values)
+    return m ^ _ts_fold32(ts_millis)
+
+
+def _ts_fold32(ts_millis) -> np.ndarray:
     ts = np.asarray(ts_millis, dtype=np.int64)
     fold = ((ts >> np.int64(32)) ^ ts).astype(np.int64)
-    fold32 = (fold & np.int64(_M32)).astype(np.uint32).view(np.int32)
-    return m ^ fold32
+    return (fold & np.int64(_M32)).astype(np.uint32).view(np.int32)
+
+
+def record_hash_offsets(
+    buf: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, ts_millis
+) -> np.ndarray:
+    """:func:`record_hash_batch` over a flattened buffer + per-row offsets
+    (zero-copy from an Arrow string array's data buffer)."""
+    return murmur3_32_offsets(buf, offsets, lengths) ^ _ts_fold32(ts_millis)
 
 
 def java_string_hash(data: bytes) -> int:

@@ -1,10 +1,24 @@
-"""Spark parse stage: pages -> exploded log records (Arrow-batched).
+"""Spark parse stage: pages -> exploded log records.
 
-Wraps :mod:`log_server_spark.parse_ref` (the single shared parity code path,
-see its docstring for reference citations) in a ``mapInPandas`` generator so
-each Arrow batch of pages is parsed and content-hashed without any per-row
-Python UDF crossing the JVM boundary row-at-a-time. The content hash is the
-numpy-vectorized reference hash (functions/hashing.py).
+Two code paths, one semantics (:mod:`log_server_spark.parse_ref` is the
+semantic truth — see its docstring for reference citations):
+
+- **Vectorized fast path (default)**: ``mapInArrow`` over
+  :func:`log_server_spark.functions.parse_vec.parse_record_batch` — pure
+  pyarrow/numpy kernels for ASCII pages (C++ split/trim/RE2 + numpy date
+  parse + zero-copy murmur3 over the Arrow buffer), with non-ASCII pages
+  (the cp1251 sniff territory, SourceUtils.scala:8-13) falling back to
+  ``parse_ref.parse_page`` per record inside the same batch. One Python
+  crossing, no pandas object materialization, no per-row Python on the hot
+  subset. See parse_vec's docstring for why this beats a JVM codegen
+  restatement.
+- **Reference slow path** (``fast=False``): ``mapInPandas`` over
+  ``parse_ref.parse_page`` for every page — per-record Python, byte-exact
+  by construction; the A/B target for the parity suite.
+
+``tests/test_parse_fastpath.py`` asserts row-for-row equality of fast vs
+slow output over the full datagen corpus (every planted error class, incl.
+cp1251 pages) plus adversarial edge pages.
 
 Missing/empty record ids are canonicalized to ``""`` (the reference's
 ``RecordId.empty``), never NULL — this keeps the dedup key null-free so the
@@ -13,6 +27,7 @@ cross-batch left-anti join needs no null-safe equality.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -80,15 +95,31 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def parse_pages(pages: DataFrame) -> DataFrame:
+def _parse_batches_arrow(batches):
+    """mapInArrow generator: each Arrow batch of pages through the
+    vectorized parser (parse_vec), yielded as record batches."""
+    from log_server_spark.functions.parse_vec import parse_record_batch
+
+    for batch in batches:
+        yield from parse_record_batch(batch).to_batches()
+
+
+def parse_pages(pages: DataFrame, fast: bool | None = None) -> DataFrame:
     """pages(url, warc_ts, html, lang, ...) -> one row per parsed record.
+
+    ``fast=None`` (default) enables the vectorized Arrow path unless env
+    ``LSS_PARSE_FAST=0`` (kept for A/B benchmarks and the parity suite).
 
     Also derives ``domain`` JVM-side (regexp over url — stays in codegen,
     never enters Python).
     """
-    parsed = pages.select("url", "warc_ts", "lang", "html").mapInPandas(
-        _parse_batches, schema=PARSED_SCHEMA
-    )
+    if fast is None:
+        fast = os.environ.get("LSS_PARSE_FAST", "1") != "0"
+    base = pages.select("url", "warc_ts", "lang", "html")
+    if fast:
+        parsed = base.mapInArrow(_parse_batches_arrow, schema=PARSED_SCHEMA)
+    else:
+        parsed = base.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
     return parsed.withColumn(
         "domain", F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
     )

@@ -64,7 +64,8 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    block_target: int = 100_000,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold (exact), distributed.
 
@@ -73,12 +74,27 @@ def cosine_neardup_pairs(
     a single numpy block-vs-block matmul. NOTHING is collected to the
     driver; the quadratic work inherent to *exact* low-threshold near-dup is
     spread across B(B+1)/2 tasks, each bounded at (n/B)^2 dot products and
-    2*(n/B)*dim*8 bytes of input. Size ``n_blocks`` so a block fits a task
-    comfortably (~10^5 vectors/block); at corpus sizes where even that
-    quadratic is wrong, the approximate LSH path (``lsh_cosine_topk`` /
-    banded bucketing) is the operator to use — this one is the oracle-grade
-    exact variant.
+    2*(n/B)*dim*8 bytes of input.
+
+    ``n_blocks`` defaults to ``ceil(count / block_target)`` — one cheap
+    count-star (parquet metadata when the source is a scan) sizes each block
+    to ~``block_target`` vectors, so a block's ``collect_list`` row stays
+    far below Spark's 2 GiB column limit at ANY corpus size instead of
+    relying on a caller-supplied constant. ~1e5 vectors x 768 dims x 8 B
+    ≈ 0.6 GB of matmul input per task — comfortable; pass ``block_target``
+    down for fatter vectors. A floor of ``ceil(sqrt(2 * parallelism))``
+    keeps B(B+1)/2 pair-cells >= the core count, so small corpora still
+    fan out instead of serializing into one task. Block count never changes
+    results (exact operator), only task granularity. At corpus sizes where
+    even the blocked quadratic is wrong, the approximate LSH path
+    (``lsh_cosine_topk`` / banded bucketing) is the operator to use — this
+    one is the oracle-grade exact variant.
     """
+    if n_blocks is None:
+        n = df.count()
+        par = df.sparkSession.sparkContext.defaultParallelism
+        floor_b = int(np.ceil(np.sqrt(2.0 * par)))
+        n_blocks = max(floor_b, -(-n // max(1, block_target)), 1)
     base = df.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),

@@ -48,9 +48,15 @@ from datetime import datetime
 DELIMITER = b"\n\n---- "
 MAX_PAYLOAD_BYTES = 1 << 20  # Storage.scala:19
 _JAVA_WS = "".join(chr(c) for c in range(0x21))  # chars <= U+0020
-_ID_RE = re.compile(r" id:(\S+)")
+# Java-exact \S: the reference tokenizes with java.util.regex, whose \s is
+# [ \t\n\x0B\f\r] ONLY — Python's \s additionally treats \x1c-\x1f (and
+# unicode spaces) as whitespace, which would split tokens the reference
+# keeps whole. Spelled out so the codegen fast path (Java regex) and this
+# Python twin agree byte-for-byte.
+_JAVA_NON_WS = r"[^ \t\n\x0B\f\r]"
+_ID_RE = re.compile(rf" id:({_JAVA_NON_WS}+)")
 _INT_RE = re.compile(r"[+-]?\d+")  # Scala toInt accepts an optional +/- sign
-_TABLE_RE = re.compile(r" table:(\S+)")
+_TABLE_RE = re.compile(rf" table:({_JAVA_NON_WS}+)")
 
 OK = "ok"
 ERR_NO_NEWLINE = "err_no_newline"

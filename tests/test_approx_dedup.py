@@ -146,6 +146,29 @@ def test_block_neardup_equals_bruteforce(emb):
     assert got == want
 
 
+@pytest.mark.parametrize("delta", [-1, 0, 1])
+def test_block_neardup_autosizes_blocks_at_boundary(emb, delta):
+    """Auto-sized n_blocks (ceil(count / block_target)) must return the same
+    exact pair set right at a block boundary (count == k*target - 1, k*target,
+    k*target + 1) as the single-block run — block count is task granularity
+    only, never semantics."""
+    from log_server_spark.operators.similarity import cosine_neardup_pairs
+
+    target = 40
+    n = 3 * target + delta  # straddles the ceil boundary
+    sub = emb.filter(F.col("vec_id") < n)
+    assert sub.count() == n
+    auto = {
+        (r["id_a"], r["id_b"]): r["cosine_r"]
+        for r in cosine_neardup_pairs(sub, threshold=0.3, block_target=target).collect()
+    }
+    one = {
+        (r["id_a"], r["id_b"]): r["cosine_r"]
+        for r in cosine_neardup_pairs(sub, threshold=0.3, n_blocks=1).collect()
+    }
+    assert auto == one and len(one) > 0
+
+
 def test_ivf_recall_vs_exact(emb):
     """IVF with nprobe=2 over ~20 corpus-sample centroids must recover a
     reasonable share of the exact top-3 (and rank-1 for most queries)."""

@@ -54,7 +54,7 @@ def test_parse_stage_is_arrow_vectorized(spark, tmp_path):
 
     pq.write_table(gen_pages(seed=1, n=50), str(tmp_path / "p.parquet"))
     plan = plan_of(parse_pages(spark.read.parquet(str(tmp_path / "p.parquet"))))
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "MapInArrow" in plan or "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python is banned
 
 
