@@ -106,6 +106,13 @@ def cmd_archive(args) -> int:
 
     spark, owned = _session(args.master)
     wh = Warehouse(args.warehouse, spark)  # also recovers a crashed prior swap
+    if getattr(args, "unmark", None) is not None:
+        ids = args.unmark or sorted(wh.archived_batches())
+        left = wh.mark_archived(ids, unmark=True)
+        print(json.dumps({"unmarked": sorted(ids), "still_archived": sorted(left)}))
+        if owned:
+            spark.stop()
+        return 0
     records_dir = os.path.join(args.warehouse, "records")
     old_dir = records_dir + ".old"
     tmp_dir = records_dir + ".compact"
@@ -133,8 +140,27 @@ def cmd_archive(args) -> int:
         os.rename(records_dir, old_dir)
         os.rename(tmp_dir, records_dir)
         shutil.rmtree(old_dir)
+        # compacted layout is history: flip every batch read-only so a later
+        # update with remapped ids fails loudly instead of rewriting it
+        # (the reference's archive gzips segments AND marks them readOnly)
+        archived: list[str] = []
+        if not getattr(args, "no_mark", False):
+            archived = sorted(
+                os.path.basename(d).split("=", 1)[1]
+                for d in glob.glob(os.path.join(records_dir, "batch=*"))
+            )
+            wh.mark_archived(archived)
     n_after = len(glob.glob(os.path.join(records_dir, "**", "*.parquet"), recursive=True))
-    print(json.dumps({"files_before": n_before, "files_after": n_after, "rows": rows_after}))
+    print(
+        json.dumps(
+            {
+                "files_before": n_before,
+                "files_after": n_after,
+                "rows": rows_after,
+                "archived": archived,
+            }
+        )
+    )
     if owned:
         spark.stop()
     return 0
@@ -168,6 +194,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("archive", help="compact sink files (gzip-segments analogue)")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--by-day", action="store_true")
+    p.add_argument(
+        "--no-mark", action="store_true",
+        help="skip marking compacted batches read-only",
+    )
+    p.add_argument(
+        "--unmark", nargs="*", metavar="BATCH",
+        help="make batches writable again (no ids = all) and exit",
+    )
     p.set_defaults(fn=cmd_archive)
 
     args = ap.parse_args(argv)

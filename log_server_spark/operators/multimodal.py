@@ -47,17 +47,20 @@ def _byte_stats(p) -> tuple[float, float]:
     return float(arr.mean()), float(arr.std())
 
 
-def _decode_image_batch(payloads: pd.Series) -> np.ndarray:
+def _decode_image_batch(payloads: pd.Series, pixel: bool = True) -> np.ndarray:
     """Return (batch, 2) [mean, std] pixel features.
 
-    With PIL present, each payload is decoded as an image and the features
-    are real pixel statistics; payloads PIL cannot decode (and every payload
-    when PIL is absent) fall back to deterministic byte statistics, so the
-    plumbing behaves identically — and keeps working — in both environments.
+    With ``pixel`` and PIL present, each payload is decoded as an image and
+    the features are real pixel statistics; payloads PIL cannot decode (and
+    every payload when PIL is absent or ``pixel=False``) fall back to
+    deterministic byte statistics, so the plumbing behaves identically —
+    and keeps working — in both environments. ``pixel=False`` pins the
+    byte-stats kernel regardless of environment (the SQL-oracle-checkable
+    variant).
     """
     out = np.zeros((len(payloads), 2), dtype=np.float64)
     for i, p in enumerate(payloads):
-        if _HAS_PIL and p is not None and len(p):
+        if pixel and _HAS_PIL and p is not None and len(p):
             import io
 
             try:
@@ -71,12 +74,23 @@ def _decode_image_batch(payloads: pd.Series) -> np.ndarray:
     return out
 
 
-def extract_features(media: DataFrame, thumb: tuple[int, int] = (32, 32)) -> DataFrame:
-    """media(MEDIA_SCHEMA) -> per-item features (FEATURES_SCHEMA)."""
+def extract_features(
+    media: DataFrame, thumb: tuple[int, int] = (32, 32), pixel: bool = True
+) -> DataFrame:
+    """media(MEDIA_SCHEMA) -> per-item features (FEATURES_SCHEMA).
+
+    ``pixel=False`` forces the byte-stats feature kernel (environment-
+    independent and SQL-expressible — the driver-oracle variant)."""
+
+    def _round4(x: np.ndarray) -> np.ndarray:
+        # half-AWAY rounding (values are nonnegative): matches SQL ROUND
+        # (Spark F.round / DuckDB round) — np.round is half-even and
+        # disagrees on exact 4-dp ties like mean(320 bytes) = 93.33125
+        return np.floor(x * 10000.0 + 0.5) / 10000.0
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _decode_image_batch(pdf["payload"])
+            feats = _decode_image_batch(pdf["payload"], pixel=pixel)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -86,8 +100,8 @@ def extract_features(media: DataFrame, thumb: tuple[int, int] = (32, 32)) -> Dat
                         hashlib.sha256(bytes(p) if p is not None else b"").hexdigest()
                         for p in pdf["payload"]
                     ],
-                    "feat_mean": np.round(feats[:, 0], 4),
-                    "feat_std": np.round(feats[:, 1], 4),
+                    "feat_mean": _round4(feats[:, 0]),
+                    "feat_std": _round4(feats[:, 1]),
                     "thumb_w": np.full(len(pdf), thumb[0], dtype=np.int32),
                     "thumb_h": np.full(len(pdf), thumb[1], dtype=np.int32),
                 }

@@ -62,7 +62,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from log_server_spark.catalog import Warehouse
+from log_server_spark.catalog import ArchivedBatchError, Warehouse
 from log_server_spark.functions.parse import parse_pages
 from log_server_spark.operators.dedup import DEDUP_KEY, anti_join_committed, split_duplicates
 from log_server_spark.operators.enrich import enrich
@@ -169,7 +169,16 @@ def _rewrite_without_batch(wh: Warehouse, table: str, batch_id: str) -> None:
 def _drop_batch(wh: Warehouse, batch_id: str) -> None:
     """Remove every trace of a batch: data partitions + per-batch bookkeeping
     files. Used for torn writes and for batches whose lineage no longer
-    matches the planned unit layout (e.g. --batch-files changed)."""
+    matches the planned unit layout (e.g. --batch-files changed).
+
+    Archived batches are read-only: dropping one (an id-remap rebuild or a
+    resume=False sweep would follow) must fail loudly rather than rewrite
+    compacted history (HeaderStorage.scala:242-275 semantics)."""
+    if batch_id in wh.archived_batches():
+        raise ArchivedBatchError(
+            f"batch {batch_id} is archived (read-only); refusing to rewrite it."
+            " Run `archive --unmark` on this warehouse to make it writable again."
+        )
     for table in (RECORDS, RECORDS_KEYS):
         d = os.path.join(wh.path(table), f"batch={batch_id}")
         if os.path.isdir(d):

@@ -273,7 +273,92 @@ SELECT CAST(batch AS BIGINT) AS batch, doc_id, seq, status, tbl, record_id, ts_m
 """
 
 
+# ---------------------------------------------------------------------------
+# Wire-format round-trip: real .saved bytes encoded AND decoded in-plan
+# ---------------------------------------------------------------------------
+
+_SAVED_TS0 = 1_700_000_000_000
+
+
+def q_saved_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode records into the reference's `.saved` wire format and decode
+    them back, entirely executor-side — the new-format writer/reader pair
+    (LogWriterClient.scala:59-101 / NewLogReader.scala:56-147) under the
+    driver's value check.
+
+    Each group of documents becomes one in-memory `.saved` "file" (odd file
+    numbers gzip-compressed, exercising the `.saved.gz` branch) built by the
+    REAL ``encode_saved``; the bytes then pass through the REAL reader
+    decode (``_decode_batches`` — the same generator ``read_saved`` wires
+    behind Spark's binaryFile source). All three RecordId variants are
+    planted by ``doc_id % 3``. The oracle reconstructs the expected rows as
+    pure SQL of (doc_id, text) — any codec asymmetry shows up as a value
+    mismatch.
+    """
+    import pandas as pd
+
+    from log_server_spark.sources.saved_format import (
+        SAVED_SCHEMA,
+        _decode_batches,
+        encode_saved,
+        gzip_deterministic,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("file_no"),
+        F.col("doc_id"),
+        F.concat(F.lit("t"), (F.col("doc_id") % 5).cast("string")).alias("tbl"),
+        (F.lit(_SAVED_TS0) + F.col("doc_id") * 1000).alias("ts"),
+        F.concat(
+            F.lit("d"), F.col("doc_id").cast("string"), F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("log"),
+    )
+
+    def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for r in pdf.itertuples():
+            k = int(r.doc_id) % 3
+            rid = int(r.doc_id) if k == 0 else (f"u{r.doc_id}" if k == 1 else None)
+            recs.append((r.tbl, rid, int(r.ts), r.log))
+        no = int(pdf["file_no"].iloc[0])
+        data = encode_saved(recs)
+        if no % 2 == 1:
+            return pd.DataFrame({"path": [f"mem://{no}.saved.gz"], "content": [gzip_deterministic(data)]})
+        return pd.DataFrame({"path": [f"mem://{no}.saved"], "content": [data]})
+
+    files = docs.groupBy("file_no").applyInPandas(
+        _encode_group, schema="path string, content binary"
+    )
+    decoded = files.mapInArrow(_decode_batches, schema=SAVED_SCHEMA)
+    return decoded.select(
+        F.regexp_extract("text", r"^d(\d+):", 1).cast("long").alias("doc_id"),
+        F.col("table").alias("tbl"),
+        "record_id",
+        "id_kind",
+        "ts_millis",
+        "text",
+        "n_bytes",
+    )
+
+
+SQL_SAVED_ROUNDTRIP = f"""
+SELECT doc_id,
+       't' || CAST(doc_id % 5 AS VARCHAR) AS tbl,
+       CASE doc_id % 3 WHEN 0 THEN CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN 'u' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END AS record_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS INTEGER) AS id_kind,
+       {_SAVED_TS0} + doc_id * 1000 AS ts_millis,
+       'd' || CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '') AS text,
+       CAST(strlen('d' || CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 REGISTRY_GRAFT: dict[str, tuple] = {
     "parse_records": (q_parse_records, SQL_PARSE_RECORDS),
     "dedup_pipeline": (q_dedup_pipeline, SQL_DEDUP_PIPELINE),
+    "saved_roundtrip": (q_saved_roundtrip, SQL_SAVED_ROUNDTRIP),
 }

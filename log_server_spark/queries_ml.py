@@ -5,9 +5,10 @@ column names. Round 2 upgraded the LSH family (MinHash banding, SimHash
 block-join, Rademacher-plane ANN) to value-checked oracles: the base hashes
 switch to md5-derived integers (computable identically in any engine) and
 the ANN hyperplanes to deterministic ±1 vectors whose projections are plain
-left-folds of double adds — bit-for-bit reproducible across engines. Only
-``multimodal_features`` remains rows-only (its decode kernel is an
-honestly-stubbed codec, not SQL).
+left-folds of double adds — bit-for-bit reproducible across engines.
+``multimodal_features`` pins the byte-stats kernel (pixel=False), so every
+entry in this module is value-checked; the PIL pixel kernel stays
+pytest-verified (it is an environment-dependent codec, not SQL).
 """
 
 from __future__ import annotations
@@ -491,10 +492,48 @@ FROM documents
 
 
 def q_multimodal_features(spark, sf_dir):
-    # rows-only: decode kernel is a deterministic stub (no codec libs here);
-    # plumbing (schema/batching/UDF signature) is the thing under test
+    """Feature extraction with the byte-stats kernel pinned (pixel=False) —
+    deterministic in any environment, so the full mapInPandas plumbing
+    (schema/batching/UDF signature) gets a DuckDB value check. The
+    PIL-gated pixel kernel stays pytest territory (test_round2's fake-PIL
+    branch tests)."""
     media = media_from_documents(_t(spark, sf_dir, "documents"))
-    return extract_features(media)
+    return extract_features(media, pixel=False)
+
+
+# byte-stats replay: payload bytes via hex(encode(text)) — per-BYTE values
+# (substr is char-based; hex pairs are byte-based), mean/std over them.
+# numpy .std() is the population std => stddev_pop.
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n,
+         sha256(text) AS sha
+  FROM documents
+),
+bytes AS (
+  SELECT media_id,
+         (strpos('0123456789ABCDEF', substr(h, 2 * i - 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, 2 * i, 1)) - 1) AS b
+  FROM m, unnest(generate_series(1, CASE WHEN n = 0 THEN 1 ELSE n END)) AS t(i)
+  WHERE n > 0
+),
+stats AS (
+  SELECT media_id, avg(b) AS mean_b, coalesce(stddev_pop(b), 0.0) AS std_b
+  FROM bytes GROUP BY media_id
+)
+SELECT m.media_id, m.kind,
+       CAST(m.n AS BIGINT) AS n_bytes,
+       m.sha AS sha256,
+       round(coalesce(s.mean_b, 0.0), 4) AS feat_mean,
+       round(coalesce(s.std_b, 0.0), 4) AS feat_std,
+       CAST(32 AS INTEGER) AS thumb_w,
+       CAST(32 AS INTEGER) AS thumb_h
+FROM m LEFT JOIN stats s USING (media_id)
+"""
 
 
 # --- composite corpus filter (the training-data headline pipeline) ----------
@@ -554,5 +593,5 @@ REGISTRY_ML: dict[str, tuple] = {
     "embedding_ann_lsh": (q_embedding_ann_lsh, SQL_EMBEDDING_ANN_LSH),
     "embedding_ann_ivf": (q_embedding_ann_ivf, SQL_EMBEDDING_ANN_IVF),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }
