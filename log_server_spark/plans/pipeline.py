@@ -183,6 +183,7 @@ def _drop_batch(wh: Warehouse, batch_id: str) -> None:
         d = os.path.join(wh.path(table), f"batch={batch_id}")
         if os.path.isdir(d):
             shutil.rmtree(d)
+    _keys_desync(wh)
     for table in (LINEAGE, METRICS_PARTIALS, METRICS_INGEST):
         f = os.path.join(wh.path(table), f"part-{batch_id}.parquet")
         if os.path.isfile(f):
@@ -194,6 +195,77 @@ def _drop_batch(wh: Warehouse, batch_id: str) -> None:
             # and the stale rows would re-poison unit-list validation (and
             # double-count ingest metrics) on every subsequent resume
             _rewrite_without_batch(wh, table, batch_id)
+
+
+KEYS_BUCKETS_DEFAULT = 32
+
+
+def _keys_table(wh: Warehouse) -> str | None:
+    """Register (or re-register) the warehouse's ``records_keys`` as a
+    BUCKETED external table and return its session-catalog name — or None
+    for legacy warehouses whose keys files predate bucketing.
+
+    Bucketing by ``record_hash`` makes the committed side of the per-batch
+    anti-join Exchange-free: the bucketed scan reports
+    HashPartitioning(record_hash, B), which satisfies the join's clustered
+    distribution (subset co-partitioning,
+    ``spark.sql.requireAllClusterKeysForCoPartition=false`` in session.py),
+    so only the small incoming batch shuffles — the committed overlap slice
+    never does. This is ROADMAP #3: the parquet-dir equivalent of an
+    Iceberg bucket-partitioned index table.
+
+    The catalog entry is session-scoped (in-memory catalog): CREATE TABLE
+    IF NOT EXISTS + ``MSCK REPAIR ... SYNC PARTITIONS`` re-derives it from
+    the files on every call, so any session — and any filesystem-level
+    batch drop — self-heals. A marker file pins the bucket count; a keys
+    dir WITHOUT the marker is a legacy layout and reads through the plain
+    path (bucket-named files are required for a correct bucketed scan).
+    """
+    import hashlib
+
+    marker = os.path.join(wh.root, "records_keys.bucketed")
+    keys_dir = wh.path(RECORDS_KEYS)
+    if not os.path.isfile(marker):
+        if wh.exists(RECORDS_KEYS):
+            return None  # legacy plain layout: files lack bucket ids
+        buckets = int(os.environ.get("LSS_KEYS_BUCKETS", str(KEYS_BUCKETS_DEFAULT)))
+        with open(marker, "w") as f:
+            f.write(str(buckets))
+    else:
+        with open(marker) as f:
+            buckets = int(f.read().strip())
+    name = f"records_keys_{hashlib.md5(wh.root.encode()).hexdigest()[:10]}"
+    spark = wh.spark
+    # registration + partition sync are driver-side catalog commands
+    # (~100 ms each): do them once per session, and again only after a
+    # filesystem-level partition drop invalidates the cache
+    tag = f"{spark.sparkContext.applicationId}:{name}"
+    if tag not in _KEYS_SYNCED:
+        spark.sql(
+            f"""CREATE TABLE IF NOT EXISTS {name} (
+                  `table` STRING, record_id STRING, record_hash INT,
+                  ts_millis BIGINT, batch STRING, day DATE)
+                USING PARQUET
+                PARTITIONED BY (batch, day)
+                CLUSTERED BY (record_hash) INTO {buckets} BUCKETS
+                LOCATION '{keys_dir}'"""
+        )
+        os.makedirs(keys_dir, exist_ok=True)
+        spark.sql(f"MSCK REPAIR TABLE {name} SYNC PARTITIONS")
+        _KEYS_SYNCED.add(tag)
+    return name
+
+
+_KEYS_SYNCED: set[str] = set()
+
+
+def _keys_desync(wh: Warehouse) -> None:
+    """Filesystem-level keys-partition removal happened: force the next
+    ``_keys_table`` call to re-sync the session catalog with the files."""
+    import hashlib
+
+    name = f"records_keys_{hashlib.md5(wh.root.encode()).hexdigest()[:10]}"
+    _KEYS_SYNCED.discard(f"{wh.spark.sparkContext.applicationId}:{name}")
 
 
 def _ts_day(ts_millis_col):
@@ -221,8 +293,11 @@ def _committed_keys(wh: Warehouse, ts_range: tuple | None = None) -> DataFrame |
     records table itself, whose (batch, sink) layout spans the full window
     in every file — the filter pruned nothing.
     """
-    if wh.exists(RECORDS_KEYS):
-        keys = wh.read(RECORDS_KEYS)
+    if wh.exists(RECORDS_KEYS) or os.path.isfile(os.path.join(wh.root, "records_keys.bucketed")):
+        name = _keys_table(wh)
+        # bucketed scan when available (Exchange-free committed side);
+        # legacy warehouses fall back to the plain partitioned read
+        keys = wh.spark.table(name) if name else wh.read(RECORDS_KEYS)
         if ts_range is not None:
             lo, hi = int(ts_range[0]), int(ts_range[1])
             keys = keys.filter(
@@ -262,6 +337,7 @@ def run_batch(
         d = os.path.join(wh.path(table), f"batch={batch_id}")
         if os.path.isdir(d):
             shutil.rmtree(d)
+            _keys_desync(wh)
 
     # split sizing: the parse stage is python-bound, so the scan must yield
     # >= ~3 tasks per core or cores sit idle (the 128 MB default + 4 MB
@@ -374,15 +450,31 @@ def run_batch(
         # otherwise be pruned out of the committed side and re-ingested.
         # floor-div keeps the mapping timezone-free (date_from_unix_date is
         # pure day arithmetic, no session-tz dependence).
-        (
+        keys = (
             written.filter(F.col("status") == "ok")
             .select("table", "record_id", "record_hash", "ts_millis")
             .withColumn("day", _ts_day(F.col("ts_millis")))
-            .repartition("day")
-            .write.mode("append")
-            .partitionBy("day")
-            .parquet(os.path.join(wh.path(RECORDS_KEYS), f"batch={batch_id}"))
         )
+        name = _keys_table(wh)
+        if name:
+            # bucketed insert: pre-cluster reducers on (day, bucket id) —
+            # pmod(hash(col), B) IS Spark's bucket-id function
+            # (HashPartitioning.partitionIdExpression), so each reducer
+            # holds exactly one (day, bucket) and writes ONE file into it
+            buckets = int(open(os.path.join(wh.root, "records_keys.bucketed")).read())
+            (
+                keys.withColumn("batch", F.lit(batch_id))
+                .select("table", "record_id", "record_hash", "ts_millis", "batch", "day")
+                .repartition(F.col("day"), F.pmod(F.hash("record_hash"), F.lit(buckets)))
+                .write.insertInto(name)
+            )
+        else:  # legacy (pre-bucketing) warehouse layout
+            (
+                keys.repartition("day")
+                .write.mode("append")
+                .partitionBy("day")
+                .parquet(os.path.join(wh.path(RECORDS_KEYS), f"batch={batch_id}"))
+            )
 
     def _collect_partials():
         return (
@@ -589,6 +681,7 @@ def run_pipeline(
             for d in glob.glob(os.path.join(wh.path(table), "batch=*")):
                 if os.path.basename(d).split("=", 1)[1] not in done:
                     shutil.rmtree(d)
+                    _keys_desync(wh)
         for batch_id, files in batches:
             if batch_id in done:
                 continue

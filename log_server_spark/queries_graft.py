@@ -169,7 +169,7 @@ def _base_cte(anchored: bool) -> str:
     if anchored:
         d = r"""
 d AS (
-  SELECT x.doc_id, a.doc_id AS cid, a.source,
+  SELECT x.doc_id, a.doc_id AS cid, a.source, a.lang,
          trim(regexp_replace(coalesce(a.text, ''), '\s+', ' ', 'g')) AS clean
   FROM documents x
   JOIN documents a
@@ -179,7 +179,7 @@ d AS (
     else:
         d = r"""
 d AS (
-  SELECT doc_id, doc_id AS cid, source,
+  SELECT doc_id, doc_id AS cid, source, lang,
          trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS clean
   FROM documents
 )"""
@@ -187,7 +187,7 @@ d AS (
         d
         + f""",
 base AS (
-  SELECT doc_id, cid, source,
+  SELECT doc_id, cid, source, lang,
          trim('p1 ' || substr(clean, 1, 120)) AS pay1,
          trim('p2 ' || substr(clean, 121, 120)) AS pay2,
          strftime(make_timestamp(({E0} + cid * 7) * 1000000), '%Y-%m-%d %H:%M:%S') AS ts1,
@@ -198,7 +198,7 @@ base AS (
   FROM d
 ),
 r1 AS (
-  SELECT doc_id, CAST(0 AS BIGINT) AS seq,
+  SELECT doc_id, lang, CAST(0 AS BIGINT) AS seq,
          CASE WHEN cid % 17 = 0 THEN 'err_bad_date' ELSE 'ok' END AS status,
          CASE WHEN cid % 17 = 0 THEN '' ELSE source END AS tbl,
          CASE WHEN cid % 23 = 21 THEN 'u' || CAST(cid AS VARCHAR)
@@ -210,7 +210,7 @@ r1 AS (
   FROM base
 ),
 r2 AS (
-  SELECT doc_id, CAST(1 AS BIGINT) AS seq,
+  SELECT doc_id, lang, CAST(1 AS BIGINT) AS seq,
          CASE WHEN cid % 19 = 0 THEN 'err_no_newline'
               WHEN cid % 13 = 0 THEN 'err_missing_table'
               ELSE 'ok' END AS status,
@@ -357,8 +357,134 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Full-protocol end-to-end: run_pipeline itself under the driver oracle
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL ``run_pipeline`` protocol — lineage, advisory lock, torn-write
+    sweep, day-partitioned bucketed keys, anti-join, observe metrics,
+    routing, partitioned write — run over two batches of synthesized legacy
+    pages into a scratch warehouse, returning the final records projection.
+
+    Batch layout mirrors ``dedup_pipeline``'s two slices (unit file 0 =
+    docs with ``doc_id % 3 != 2`` -> batch b00000; file 1 = the rest ->
+    b00001), so the oracle is that query's SQL extended with the error rows
+    (which bypass dedup, route.py's F4 semantics) and the sink assignment
+    (route.py:with_sink — doc:// urls have no extractable domain, so the
+    non-error route is lang_<lang> for primary langs else cat_unknown).
+
+    Construction executes the ingest (Spark write jobs + the pipeline's
+    O(1)-row driver aggregates) and returns a lazy scan of the warehouse it
+    produced — rebuilt from scratch on every call for determinism.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from log_server_spark.datagen import gen_domain_lookup, gen_lang_lookup
+    from log_server_spark.plans.pipeline import RECORDS, run_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    anchor = F.when(
+        F.col("doc_id") % 10 >= 8, F.col("doc_id") - F.col("doc_id") % 10
+    ).otherwise(F.col("doc_id"))
+    content = docs.select(
+        F.col("doc_id").alias("cid"), F.col("text"), F.col("source"), F.col("lang")
+    )
+    anchored = (
+        docs.select(F.col("doc_id"), anchor.alias("anchor"))
+        .join(F.broadcast(content), F.col("anchor") == F.col("cid"))
+        .select("doc_id", "cid", "text", "source", "lang")
+    )
+    pages = synth_legacy_pages(anchored, url_id="doc_id", content_id="cid").withColumn(
+        "slice", F.regexp_extract("url", r"doc://(\d+)", 1).cast("long") % 3 == 2
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"lss_e2e_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    pages_dir = os.path.join(base, "pages")
+    os.makedirs(pages_dir)
+    # two unit files = two batches; fixed names pin the sorted-unit order
+    # (slice 0 -> b00000, slice 1 -> b00001)
+    for i, sl in enumerate((False, True)):
+        tmp = os.path.join(base, f"slice{i}")
+        pages.filter(F.col("slice") == sl).drop("slice").coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(pages_dir, f"unit-{i:05d}.parquet"))
+        shutil.rmtree(tmp)
+
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(gen_lang_lookup(), os.path.join(base, "lang_lookup.parquet"))
+    _pq.write_table(gen_domain_lookup(), os.path.join(base, "domain_lookup.parquet"))
+
+    wh_dir = os.path.join(base, "wh")
+    run_pipeline(spark, pages_dir, wh_dir, batch_files=1)
+
+    recs = spark.read.parquet(os.path.join(wh_dir, RECORDS))
+    return recs.select(
+        F.col("batch"),
+        F.col("sink"),
+        *[c() for c in _PARSED_OUT],
+    )
+
+
+SQL_PIPELINE_E2E = f"""
+WITH {_base_cte(anchored=True)},
+recs AS (
+  SELECT * FROM r1
+  UNION ALL
+  SELECT * FROM r2
+),
+tagged AS (
+  SELECT *, CASE WHEN doc_id % 3 = 2 THEN 'b00001' ELSE 'b00000' END AS batch
+  FROM recs
+),
+k1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, record_id, ts_ms, fp
+                                 ORDER BY doc_id, seq) AS rn
+    FROM tagged WHERE batch = 'b00000' AND status = 'ok') WHERE rn = 1
+),
+k2c AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, record_id, ts_ms, fp
+                                 ORDER BY doc_id, seq) AS rn
+    FROM tagged WHERE batch = 'b00001' AND status = 'ok') WHERE rn = 1
+),
+k2 AS (
+  SELECT * FROM k2c
+  WHERE NOT EXISTS (SELECT 1 FROM k1
+                    WHERE k1.tbl = k2c.tbl AND k1.record_id = k2c.record_id
+                      AND k1.ts_ms = k2c.ts_ms AND k1.fp = k2c.fp)
+),
+final AS (
+  SELECT batch, lang, doc_id, seq, status, tbl, record_id, ts_ms, fp FROM k1
+  UNION ALL
+  SELECT batch, lang, doc_id, seq, status, tbl, record_id, ts_ms, fp FROM k2
+  UNION ALL
+  -- error rows bypass dedup entirely (route.py F4): every parse-error row
+  -- of both batches lands in the error sink, clones included
+  SELECT batch, lang, doc_id, seq, status, tbl, record_id, ts_ms, fp
+  FROM tagged WHERE status <> 'ok'
+)
+SELECT batch,
+       CASE WHEN status <> 'ok' THEN 'error'
+            WHEN lang IN ('en', 'ru', 'de', 'fr', 'es') THEN 'lang_' || lang
+            ELSE 'cat_unknown' END AS sink,
+       doc_id, seq, status, tbl, record_id, ts_ms, fp
+FROM final
+"""
+
+
 REGISTRY_GRAFT: dict[str, tuple] = {
     "parse_records": (q_parse_records, SQL_PARSE_RECORDS),
     "dedup_pipeline": (q_dedup_pipeline, SQL_DEDUP_PIPELINE),
     "saved_roundtrip": (q_saved_roundtrip, SQL_SAVED_ROUNDTRIP),
+    "pipeline_e2e": (q_pipeline_e2e, SQL_PIPELINE_E2E),
 }

@@ -77,6 +77,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed-scan co-partitioning on a SUBSET of join keys: the
+        # records_keys table is bucketed by record_hash alone, and the
+        # dedup anti-join clusters on (table, record_id, record_hash) —
+        # allowing the subset keeps the committed side Exchange-free
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
