@@ -120,6 +120,11 @@ def _run_dag(master: str, data_dir: str) -> float:
     env = dict(os.environ)
     # shuffle/spill on tmpfs: benchmark the engine, not the VM's virtio disk
     env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/lss_spark_local")
+    # pin the keys-table bucket count across parallelism levels: the layout
+    # must be byte-identical work at every level for the ratio to mean
+    # anything, and 8 buckets is the single-node file-count sweet spot (the
+    # 32-bucket default is sized for cluster-scale key volumes)
+    env.setdefault("LSS_KEYS_BUCKETS", "8")
     os.makedirs(env["SPARK_LOCAL_DIRS"], exist_ok=True)
     # pin the whole subprocess tree (JVM + python workers) to exactly N
     # cpus: an UNpinned local[N] is not an N-core cluster — JVM GC/IO and
