@@ -47,6 +47,9 @@ HEADLINE = [
     "quality_score",
     "langid",
     "doc_fingerprint",
+    "pii_scrub",
+    "token_chunks",
+    "saved_roundtrip",
     "embedding_cosine_topk",
     "embedding_neardup",
     "multimodal_meta",

@@ -43,6 +43,7 @@ def cmd_update(args) -> int:
     results = run_pipeline(
         spark, args.pages_dir, args.warehouse,
         batch_files=args.batch_files, salt=args.salt,
+        source_format=getattr(args, "format", "pages"),
     )
     for r in results:
         print(f"{r.batch}: added={r.added} duplicates={r.duplicates} errors={r.errors}")
@@ -176,6 +177,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pages-dir", required=True)
     p.add_argument("--batch-files", type=int, default=4)
     p.add_argument("--salt", type=int, default=8)
+    p.add_argument(
+        "--format", choices=["pages", "saved"], default="pages",
+        help="input units: parquet pages tables, or reference-wire .saved files",
+    )
     p.set_defaults(fn=cmd_update)
 
     p = sub.add_parser("get", help="point lookup: all records for (table, id)")

@@ -115,3 +115,68 @@ def word_ngrams(col, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
         )
     )
+
+
+# PII redaction: (class, pattern, replacement) applied IN ORDER — email
+# first so the phone pattern cannot eat an address's digit run. Patterns
+# are ASCII-class-only (\d, explicit sets), where Java regex (Spark
+# codegen) and RE2 (the DuckDB oracle) agree byte-for-byte; both engines
+# replace globally.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9\-() ]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(col) -> Column:
+    """Redact emails / phone numbers / IPv4 addresses (the standard
+    training-data privacy pass) — chained global ``regexp_replace``, all
+    whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pat, repl in PII_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Per-class PII hit counts over the RAW text (pre-redaction), applied
+    in rule order on the progressively scrubbed string so counts match what
+    ``pii_scrub`` actually replaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    for name, pat, repl in PII_RULES:
+        out[name] = F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        c = F.regexp_replace(c, pat, repl)
+    return out
+
+
+def token_chunks(col, size: int = 64, overlap: int = 16) -> Column:
+    """Fixed-size token windows with overlap — the context-window chunker a
+    pretraining pipeline feeds its tokenizer from.
+
+    Returns ``array<struct<chunk_id int, chunk_text string>>``: windows of
+    ``size`` whitespace tokens starting every ``size - overlap`` tokens
+    (final partial window kept; empty/whitespace-only text -> empty array).
+    Pure codegen: split + sequence + transform + slice.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    toks = F.split(c, r"\s+")
+    n = F.size(toks)
+    # last start is the smallest multiple of step with start + size >= n:
+    # stop the sequence strictly before n - overlap (a later start would
+    # open a window wholly contained in its predecessor)
+    starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step))
+    win = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, s + 1, size)).alias("chunk_text"),
+        ),
+    )
+    return F.when(F.length(c) == 0, F.array().cast(
+        "array<struct<chunk_id:int,chunk_text:string>>"
+    )).otherwise(win)

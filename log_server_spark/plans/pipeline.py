@@ -95,11 +95,47 @@ class BatchResult:
     errors: int
 
 
-def _list_units(pages_dir: str) -> list[str]:
-    units = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+def _list_units(pages_dir: str, source_format: str = "pages") -> list[str]:
+    pat = "*.parquet" if source_format == "pages" else "*.saved*"
+    units = sorted(glob.glob(os.path.join(pages_dir, pat)))
     if not units:
-        raise FileNotFoundError(f"no parquet files under {pages_dir}")
+        raise FileNotFoundError(f"no {pat} files under {pages_dir}")
     return units
+
+
+def _saved_records(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Wire-format (`.saved`) units -> the parsed-records shape.
+
+    Records arrive already structured (NewLogReader semantics — the decode
+    guards RAISE on corruption, like the reference, so there is no error
+    route from this source), with the reference content hash attached by
+    the reader. ``url`` is synthesized as file#seq (unique, deterministic,
+    sorted = source order O4); capture ts := record ts (the wire carries
+    only one); no page language/domain -> routed by the lookup misses
+    (cat_unknown)."""
+    from log_server_spark.sources.saved_format import read_saved
+
+    df = read_saved(spark, files)
+    return df.select(
+        F.concat_ws("#", F.col("source_file"), F.col("rec_seq").cast("string")).alias("url"),
+        F.timestamp_millis(F.col("ts_millis")).alias("warc_ts"),
+        F.lit("und").alias("lang"),
+        F.col("rec_seq").alias("seq"),
+        F.lit("ok").alias("status"),
+        "table",
+        "record_id",
+        "ts_millis",
+        "text",
+        "n_bytes",
+        "record_hash",
+        F.lit("").alias("domain"),
+    )
+
+
+def _opt_lookup(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
 
 
 def _committed_batches(wh: Warehouse) -> dict[str, frozenset]:
@@ -326,6 +362,7 @@ def run_batch(
     domain_lookup: DataFrame,
     salt: int = 8,
     partition_cols: tuple[str, ...] = ("sink",),
+    source_format: str = "pages",
 ) -> BatchResult:
     # torn-write recovery FIRST: a batch dir without a lineage row is a
     # partial write from a crashed run. Both the records partition and the
@@ -357,8 +394,11 @@ def run_batch(
         if os.environ.get("LSS_TIMING"):
             _marks.append((phase, time.time()))
 
-    pages = spark.read.parquet(*files)
-    parsed = parse_pages(pages).withColumn("day", F.to_date("warc_ts"))
+    if source_format == "saved":
+        parsed = _saved_records(spark, files).withColumn("day", F.to_date("warc_ts"))
+    else:
+        pages = spark.read.parquet(*files)
+        parsed = parse_pages(pages).withColumn("day", F.to_date("warc_ts"))
     parsed.persist(getattr(StorageLevel, os.environ.get("LSS_PERSIST_LEVEL", "MEMORY_AND_DISK")))
 
     ok = parsed.filter(F.col("status") == "ok")
@@ -633,6 +673,7 @@ def run_pipeline(
     partition_cols: tuple[str, ...] = ("sink",),
     max_batches: int | None = None,
     lock_timeout: float = 60.0,
+    source_format: str = "pages",
 ) -> list[BatchResult]:
     """``partition_cols`` is the sink-table layout. Default ``("sink",)``;
     add ``"day"`` for date-pruned layouts when per-partition volume is large
@@ -640,10 +681,18 @@ def run_pipeline(
     right call at the 100 TB design point, wasteful below ~10 GB/day)."""
     wh = Warehouse(warehouse_root, spark)
     base = os.path.dirname(pages_dir.rstrip("/"))
-    lang_lookup = spark.read.parquet(os.path.join(base, "lang_lookup.parquet"))
-    domain_lookup = spark.read.parquet(os.path.join(base, "domain_lookup.parquet"))
+    # lookup dims are optional (a `.saved` migration dir has none): a
+    # missing file becomes an empty dim, and the left joins keep NULLs
+    lang_lookup = _opt_lookup(
+        spark, os.path.join(base, "lang_lookup.parquet"),
+        "lang string, lang_name string, lang_family string",
+    )
+    domain_lookup = _opt_lookup(
+        spark, os.path.join(base, "domain_lookup.parquet"),
+        "domain string, category string, country string, is_error_prone boolean",
+    )
 
-    units = _list_units(pages_dir)
+    units = _list_units(pages_dir, source_format)
     batches = [
         (f"b{bi:05d}", units[i : i + batch_files])
         for bi, i in enumerate(range(0, len(units), batch_files))
@@ -691,6 +740,7 @@ def run_pipeline(
                 run_batch(
                     spark, wh, batch_id, files, lang_lookup, domain_lookup,
                     salt=salt, partition_cols=partition_cols,
+                    source_format=source_format,
                 )
             )
         if aggregates and (results or wh.exists(RECORDS)):

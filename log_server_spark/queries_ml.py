@@ -577,6 +577,115 @@ WHERE rn = 1
 """
 
 
+
+
+# --- privacy + chunking (training-data pipeline staples) ---------------------
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass: plant deterministic emails/phones/IPs into each
+    doc (both engines build the identical string from doc_id), then scrub
+    with the chained codegen regexes and count per-class hits. Patterns are
+    ASCII-class-only, where Java regex and RE2 agree."""
+    from log_server_spark.functions.text import pii_counts, pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@test.org or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        ).alias("txt"),
+    )
+    counts = pii_counts("txt")
+    return planted.select(
+        "doc_id",
+        pii_scrub("txt").alias("clean_text"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ip"),
+    )
+
+
+def _pii_sql() -> str:
+    from log_server_spark.functions.text import PII_RULES
+
+    rules = {name: (pat, repl) for name, pat, repl in PII_RULES}
+    e_pat, e_rep = rules["email"]
+    p_pat, p_rep = rules["phone"]
+    i_pat, i_rep = rules["ipv4"]
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@test.org or +1 (555) 010-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS txt
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(txt, '{e_pat}')) AS BIGINT) AS n_email,
+         regexp_replace(txt, '{e_pat}', '{e_rep}', 'g') AS t
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '{p_pat}')) AS BIGINT) AS n_phone,
+         regexp_replace(t, '{p_pat}', '{p_rep}', 'g') AS t
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t, '{i_pat}', '{i_rep}', 'g') AS clean_text,
+       n_email, n_phone,
+       CAST(len(regexp_extract_all(t, '{i_pat}')) AS BIGINT) AS n_ip
+FROM s2
+"""
+
+
+SQL_PII_SCRUB = _pii_sql()
+
+
+def q_token_chunks(spark, sf_dir):
+    """Context-window chunker: 64-token windows every 48 tokens (16-token
+    overlap), final partial window kept — what a pretraining pipeline feeds
+    its tokenizer from. Pure codegen; one row per chunk."""
+    from log_server_spark.functions.text import token_chunks, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(token_chunks("text", size=64, overlap=16)).alias("c")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_id").cast("long").alias("chunk_id"),
+        token_count(F.col("c.chunk_text")).alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+SQL_TOKEN_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+  WHERE length(trim(coalesce(text, ''))) > 0
+),
+s AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, greatest(len(w) - 17, 0), 48)) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST(st / 48 AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(w, st + 1, st + 64)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(w, st + 1, st + 64), ' ') AS chunk_text
+FROM s
+"""
+
+
 REGISTRY_ML: dict[str, tuple] = {
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -594,4 +703,6 @@ REGISTRY_ML: dict[str, tuple] = {
     "embedding_ann_ivf": (q_embedding_ann_ivf, SQL_EMBEDDING_ANN_IVF),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "token_chunks": (q_token_chunks, SQL_TOKEN_CHUNKS),
 }

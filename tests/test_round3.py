@@ -306,3 +306,90 @@ def test_committed_keys_bucketed_no_exchange(spark, dataset, tmp_path_factory, m
     a = {tuple(r) for r in wh.read(RECORDS).select("url", "seq", "table", "record_id").collect()}
     b = {tuple(r) for r in Warehouse(wh2_dir, spark).read(RECORDS).select("url", "seq", "table", "record_id").collect()}
     assert a == b
+
+
+@pytest.mark.parametrize(
+    "n,want_chunks", [(0, 0), (1, 1), (63, 1), (64, 1), (65, 2), (112, 2), (113, 3)]
+)
+def test_token_chunks_window_boundaries(spark, n, want_chunks):
+    """64-token windows every 48: the final partial window is kept, and no
+    window is wholly contained in its predecessor (start < n - overlap)."""
+    from log_server_spark.functions.text import token_chunks
+
+    text = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([(text,)], "text string")
+    rows = df.select(F.explode(token_chunks("text", size=64, overlap=16)).alias("c")).collect()
+    assert len(rows) == want_chunks
+    toks = text.split()
+    got_all = []
+    for k, r in enumerate(rows):
+        assert r["c"]["chunk_id"] == k
+        chunk_toks = r["c"]["chunk_text"].split()
+        assert chunk_toks == toks[k * 48 : k * 48 + 64]
+        got_all.extend(chunk_toks)
+    if n:
+        assert set(got_all) == set(toks), "every token lands in some chunk"
+
+
+def test_pii_scrub_classes(spark):
+    from log_server_spark.functions.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-y.co.uk, call +44 (0)20 7946 0958, host 192.168.0.254 ok",)],
+        "text string",
+    )
+    counts = pii_counts("text")
+    row = df.select(
+        pii_scrub("text").alias("clean"),
+        counts["email"].alias("e"), counts["phone"].alias("p"), counts["ipv4"].alias("i"),
+    ).collect()[0]
+    assert "<EMAIL>" in row["clean"] and "<PHONE>" in row["clean"] and "<IP>" in row["clean"]
+    assert "@" not in row["clean"] and "192.168" not in row["clean"]
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+
+
+def test_saved_format_ingestion_end_to_end(spark, tmp_path_factory, capsys):
+    """Migration path: real LogWriterClient-format `.saved` files ingested
+    by the SAME pipeline protocol (`update --format saved`) — dedup across
+    batches on (table, id, content-hash), keys/lineage written, `get`
+    serves the records."""
+    from log_server_spark.cli import main as cli_main
+    from log_server_spark.sources.saved_format import write_saved
+
+    base = tmp_path_factory.mktemp("r3_saved")
+    src = base / "logs"
+    src.mkdir()
+    recs1 = [
+        ("users", 7, 1709287200000, "u7 body"),
+        ("users", 8, 1709287201000, "u8 body"),
+        ("events", "sess-1", 1709287202000, "string-id body"),
+        ("users", None, 1709287203000, "empty-id body"),
+    ]
+    # unit 2: one exact cross-batch duplicate of (users, 7) + one new record
+    recs2 = [
+        ("users", 7, 1709287200000, "u7 body"),
+        ("users", 9, 1709290000000, "u9 body"),
+    ]
+    write_saved(str(src / "20240301T100000.saved"), recs1)
+    write_saved(str(src / "20240301T100500.saved.gz"), recs2)
+
+    wh_dir = str(base / "wh")
+    r = run_pipeline(spark, str(src), wh_dir, batch_files=1, source_format="saved")
+    assert [b.added for b in r] == [4, 1]
+    assert r[1].duplicates == 1
+
+    wh = Warehouse(wh_dir, spark)
+    recs = wh.read(RECORDS)
+    assert recs.count() == 5
+    assert recs.filter(F.col("status") != "ok").count() == 0
+    assert {x["sink"] for x in recs.select("sink").distinct().collect()} == {"cat_unknown"}
+    assert wh.read(RECORDS_KEYS).count() == 5
+
+    # resume is a no-op; the CLI surface works too
+    assert run_pipeline(spark, str(src), wh_dir, batch_files=1, source_format="saved") == []
+    rc = cli_main([
+        "get", "--warehouse", wh_dir, "--table", "users", "--id", "7",
+    ])
+    assert rc == 0
+    out = [line for line in capsys.readouterr().out.splitlines() if line.startswith("{")]
+    assert len(out) == 1 and '"u7 body"' in out[0]
