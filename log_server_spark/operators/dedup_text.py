@@ -192,10 +192,19 @@ def minhash_lsh_pairs(
     the shingle frame (semi-join pruned).
     """
     rows_per_band = num_hashes // bands
-    if base == "md5":
-        sig = minhash_signatures_md5(df, id_col, text_col, num_hashes, shingle_n)
-    else:
-        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # ONE shingle explode feeds signatures AND sizes (a single groupBy
+    # computes the k minima plus the distinct-shingle count) — the explode
+    # is the dominant cost of this operator (~1 s per pass at sf0.1), and
+    # the naive plan recomputed it four times (signatures, sizes, and both
+    # sides of the verify self-join)
+    sh = _shingle_frame(df, id_col, text_col, shingle_n).withColumn(
+        "b", _base_hash_mod_p(F.col("shingle"), base)
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("b") + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
+    sig = sh.groupBy("id").agg(*aggs, F.count("*").alias("sz"))
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -203,35 +212,36 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    banded = sig.select("id", "sz", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", "sz", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    left = banded.select(F.col("id").alias("id_a"), "band", "key")
-    right = banded.select(F.col("id").alias("id_b"), "band", "key")
+    left = banded.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "band", "key")
+    right = banded.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "band", "key")
     candidates = (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
-    # exact verify on the candidate set only (hashed shingle keys, as in
-    # ngram_jaccard_pairs)
-    sh = _shingle_frame(df, id_col, text_col, shingle_n).select(
-        "id", F.xxhash64("shingle").alias("sh64")
+    # exact verify on the candidate DOCS only: semi-join prunes the shingle
+    # scan to candidate ids, one collect_list per candidate doc, and the
+    # pair intersection is an array op — the committed shingle frame is
+    # never self-joined whole (shuffle O(candidate docs), not O(corpus))
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    sizes = _shingle_sizes(df, id_col, text_col, shingle_n)
-    a = sh.select(F.col("id").alias("id_a"), "sh64")
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh64").alias("sh64_b"))
-    shared = (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(F.col("sh64") == F.col("sh64_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
+    lists = (
+        sh.select("id", F.xxhash64("shingle").alias("sh64"))
+        .join(F.broadcast(cand_ids), "id")
+        .groupBy("id")
+        .agg(F.collect_list("sh64").alias("arr"))
     )
     return (
-        shared.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        candidates.join(lists.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
+        .join(lists.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")), "id_b")
+        .withColumn("shared", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"), 4),
@@ -239,6 +249,18 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _base_hash_mod_p(col, base: str):
+    """Per-shingle universal-hash base ``b`` in [0, P): matches
+    minhash_signatures (xxhash64) / minhash_signatures_md5 (md5) exactly so
+    the combined sig+size aggregation yields identical signatures."""
+    if base == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(MERSENNE_P))
+    if base == "md5":
+        hex15 = F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15)
+        return F.pmod(F.conv(hex15, 16, 10).cast("long"), F.lit(MERSENNE_P))
+    raise ValueError(base)
 
 
 def _base_hash_expr(col, base: str):
