@@ -127,3 +127,47 @@ def start_windowed_stats(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_record_sessions(
+    spark: SparkSession,
+    records_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = False,
+):
+    """Stage-2 stream: per-domain ingest sessions over the records SINK.
+
+    Chained exactly-once: the file SOURCE on ``records_dir`` reads the
+    ingest sink's ``_spark_metadata`` commit log, so it only ever sees files
+    the upstream checkpointed query committed — a crash between the two
+    stages replays nothing and loses nothing. This is the production shape
+    for composing stateful stages (decoupled queries over a committed sink)
+    rather than chaining two stateful operators inside one query.
+
+    Each ok record becomes a session event: key = xxhash64(domain) (the
+    sessionizer's long key), event time = capture ts (warc_ts), value =
+    payload bytes. Closed sessions -> parquet, exactly once (the stateful
+    sessionizer emits on gap-close or event-time timeout).
+    """
+    from log_server_spark.streaming.sessionize import streaming_sessions
+
+    schema = spark.read.parquet(records_dir).schema
+    records = spark.readStream.schema(schema).parquet(records_dir)
+    events = records.filter(F.col("status") == "ok").select(
+        F.xxhash64("domain").alias("user_id"),
+        F.col("url").alias("event_id"),
+        F.col("warc_ts").alias("ts"),
+        F.col("n_bytes").cast("double").alias("value"),
+    )
+    writer = (
+        streaming_sessions(events, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -85,3 +85,79 @@ def test_streaming_windowed_stats_runs(spark, data, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() > 0
     assert set(df.columns) == {"window_start", "sink", "n_rows", "n_urls_approx"}
+
+
+def test_chained_record_sessions_exactly_once(spark, data, tmp_path):
+    """Stage-1 ingest sink -> stage-2 per-domain session stream, chained via
+    the sink's _spark_metadata commit log. Across a two-wave restart: no
+    closed session is emitted twice, and every closed session equals the
+    batch gap-sessionization of the final records."""
+    from pyspark.sql import Window
+
+    from log_server_spark.streaming.sessionize import GAP_MS
+    from log_server_spark.streaming.stream_pipeline import start_record_sessions
+
+    ll, dl = _lookups(spark, data)
+    pages_src = os.path.join(data, "pages")
+    pages = str(tmp_path / "pages")
+    os.makedirs(pages)
+    units = sorted(os.listdir(pages_src))
+    records = str(tmp_path / "records")
+    sessions = str(tmp_path / "sessions")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+
+    import shutil
+
+    def _drain():
+        q = start_ingest(spark, pages, records, ck1, ll, dl, available_now=True)
+        q.awaitTermination(300)
+        q2 = start_record_sessions(spark, records, sessions, ck2, available_now=True)
+        q2.awaitTermination(300)
+
+    # wave 1: half the units; wave 2: the rest (restart both stages)
+    for u in units[:2]:
+        shutil.copy(os.path.join(pages_src, u), os.path.join(pages, u))
+    _drain()
+    for u in units[2:]:
+        shutil.copy(os.path.join(pages_src, u), os.path.join(pages, u))
+    _drain()
+
+    got = spark.read.parquet(sessions).collect()
+    keys = [(r["user_id"], r["session_start"]) for r in got]
+    assert len(keys) == len(set(keys)), "a closed session was emitted twice"
+    assert len(got) > 0
+
+    # batch oracle: gap sessions over the final committed records
+    recs = (
+        spark.read.parquet(records)
+        .filter(F.col("status") == "ok")
+        .select(
+            F.xxhash64("domain").alias("user_id"),
+            F.unix_millis("warc_ts").alias("ts_ms"),
+            F.col("n_bytes").cast("double").alias("value"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    batch = (
+        recs.withColumn("prev", F.lag("ts_ms").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(F.col("prev").isNull() | (F.col("ts_ms") - F.col("prev") > GAP_MS), 1).otherwise(0),
+        )
+        .withColumn("sess", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess")
+        .agg(
+            F.min("ts_ms").alias("session_start"),
+            F.max("ts_ms").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], float(r["sum_value"]))
+        for r in batch.collect()
+    }
+    for r in got:  # every CLOSED session must match the batch recompute
+        k = (r["user_id"], r["session_start"])
+        assert k in want, f"streamed session {k} unknown to batch oracle"
+        assert want[k] == (r["session_end"], r["n_events"], float(r["sum_value"])), k
