@@ -280,9 +280,26 @@ def main() -> None:
     # best-of-REPS per query: this VM has minutes-long host storms (kernel
     # sys > user, 2-4x wall inflation); repeated steady-state runs sample
     # different windows so one storm can't contaminate the whole suite
-    reps = int(os.environ.get("LSS_QUERY_REPS", "2"))
+    reps = int(os.environ.get("LSS_QUERY_REPS", "3"))
     times: dict[str, float] = {}
+
+    def _cpu():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        return int(parts[0]) / 100.0, int(parts[2]) / 100.0
+
+    # storm indicator: the flagship probe bracketing each rep + system-wide
+    # cpu over the query phase. Quiet band for the probe is ~0.4-0.7 s at
+    # sf0.1 local[32]; a probe at 2-4x that marks the rep's numbers as
+    # storm-inflated (kernel sys rivaling user is the same signature).
+    probes: list[float] = []
+    u0, s0 = _cpu()
     for _ in range(reps):
+        t0 = time.time()
+        qs["flagship_route_aggregate"](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        probes.append(round(time.time() - t0, 3))
         for name in HEADLINE:
             if name not in qs:
                 continue
@@ -290,9 +307,12 @@ def main() -> None:
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             times[name] = min(times.get(name, float("inf")), dt)
+    u1, s1 = _cpu()
     spark.stop()
 
     result["queries"] = times
+    result["storm_probe_s"] = probes
+    result["query_phase_cpu"] = {"user_s": round(u1 - u0, 1), "sys_s": round(s1 - s0, 1)}
     result["value"] = round(sum(times.values()), 3)
     print(json.dumps(result))
 

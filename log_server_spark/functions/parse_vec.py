@@ -73,8 +73,13 @@ def _str_buf(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(data buffer as uint8, row offsets int64) of a string/binary array —
     zero-copy views into the Arrow buffers."""
     odt = np.int64 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else np.int32
-    offs = np.frombuffer(arr.buffers()[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
-    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    if off_buf is None:  # degenerate empty array: no offsets allocated
+        return np.empty(0, np.uint8), np.zeros(len(arr) + 1, np.int64)
+    offs = np.frombuffer(off_buf, dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    buf = (
+        np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.empty(0, np.uint8)
+    )
     return buf, offs.astype(np.int64)
 
 
