@@ -145,12 +145,22 @@ def cmd_archive(args) -> int:
         # update with remapped ids fails loudly instead of rewriting it
         # (the reference's archive gzips segments AND marks them readOnly)
         archived: list[str] = []
+        keys_stats = book_stats = None
         if not getattr(args, "no_mark", False):
             archived = sorted(
                 os.path.basename(d).split("=", 1)[1]
                 for d in glob.glob(os.path.join(records_dir, "batch=*"))
             )
             wh.mark_archived(archived)
+            # archive EVERYTHING, index files included (BigStorage.scala:
+            # 338-350): merge the now-read-only batches' keys partitions to
+            # one file per (day, bucket) and their bookkeeping to one file
+            # per table. Skipped under --no-mark: merging erases per-batch
+            # attribution, which is only sound for read-only batches.
+            from log_server_spark.plans.pipeline import compact_bookkeeping, compact_keys
+
+            keys_stats = compact_keys(wh)
+            book_stats = compact_bookkeeping(wh, set(archived))
     n_after = len(glob.glob(os.path.join(records_dir, "**", "*.parquet"), recursive=True))
     print(
         json.dumps(
@@ -159,6 +169,8 @@ def cmd_archive(args) -> int:
                 "files_after": n_after,
                 "rows": rows_after,
                 "archived": archived,
+                "keys": keys_stats,
+                "bookkeeping": book_stats,
             }
         )
     )

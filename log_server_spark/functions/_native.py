@@ -67,14 +67,28 @@ void murmur3_32_rows(const uint8_t *buf, const int64_t *offsets,
 """
 
 
+def _owned_by_me(path: str) -> bool:
+    try:
+        return os.stat(path).st_uid == os.getuid()
+    except OSError:
+        return False
+
+
 def _build() -> ctypes.CDLL | None:
     tag = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
+    # per-user cache dir, mode 0700: a world-shared predictable path would
+    # let another local user pre-plant a malicious .so under the expected
+    # name and have every worker CDLL-load it. Ownership of both the dir
+    # and the .so is verified before loading; any mismatch falls back to
+    # the numpy path (the caller treats a raise as "no native kernel").
     cache_dir = os.environ.get("LSS_NATIVE_DIR") or os.path.join(
-        tempfile.gettempdir(), "lss_native"
+        tempfile.gettempdir(), f"lss_native_{os.getuid()}"
     )
     so_path = os.path.join(cache_dir, f"murmur_{tag}.so")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    if not _owned_by_me(cache_dir):
+        raise PermissionError(f"native cache dir {cache_dir} not owned by uid {os.getuid()}")
     if not os.path.exists(so_path):
-        os.makedirs(cache_dir, exist_ok=True)
         src_path = os.path.join(cache_dir, f"murmur_{tag}.c")
         with open(src_path, "w") as f:
             f.write(_C_SRC)
@@ -84,6 +98,8 @@ def _build() -> ctypes.CDLL | None:
             check=True, capture_output=True, timeout=60,
         )
         os.replace(tmp_so, so_path)  # atomic: concurrent workers race safely
+    if not _owned_by_me(so_path):
+        raise PermissionError(f"{so_path} not owned by uid {os.getuid()}")
     lib = ctypes.CDLL(so_path)
     lib.murmur3_32_rows.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,

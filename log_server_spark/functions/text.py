@@ -140,9 +140,10 @@ def pii_scrub(col) -> Column:
 
 
 def pii_counts(col) -> dict[str, Column]:
-    """Per-class PII hit counts over the RAW text (pre-redaction), applied
-    in rule order on the progressively scrubbed string so counts match what
-    ``pii_scrub`` actually replaces."""
+    """Per-class PII hit counts taken in rule order on the progressively
+    scrubbed text — each class counts matches in the string after the
+    previous classes' replacements, so counts equal what ``pii_scrub``
+    actually replaces (and what the DuckDB oracle computes)."""
     c = F.col(col) if isinstance(col, str) else col
     out: dict[str, Column] = {}
     for name, pat, repl in PII_RULES:

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from log_server_spark.functions.text import fingerprint, word_ngrams, words
+from log_server_spark.plan_util import spread_small_input
 
 MERSENNE_P = (1 << 31) - 1
 
@@ -42,14 +43,10 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _spread(df: DataFrame) -> DataFrame:
     """Small-input / heavy-compute guard: shingling is an interpreted
     higher-order expression (~µs/shingle), so a corpus that fits one parquet
-    split would otherwise run it on ONE core. Repartition up to the session
-    parallelism when the scan yields fewer partitions; at real scale the
-    scan already has >= cores partitions and this is a no-op (no shuffle).
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    split would otherwise run it on ONE core. Gated on the input-file size
+    estimate (driver metadata, no RDD conversion — see plan_util); at real
+    scale the scan already has >= cores partitions and this is a no-op."""
+    return spread_small_input(df)
 
 
 def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -226,7 +223,11 @@ def minhash_lsh_pairs(
     # exact verify on the candidate DOCS only: semi-join prunes the shingle
     # scan to candidate ids, one collect_list per candidate doc, and the
     # pair intersection is an array op — the committed shingle frame is
-    # never self-joined whole (shuffle O(candidate docs), not O(corpus))
+    # never self-joined whole (shuffle O(candidate docs), not O(corpus)).
+    # No broadcast hint: the candidate-id set is OUTPUT-sensitive (a
+    # near-dup-heavy corpus can yield tens of millions of ids), so a forced
+    # driver-routed broadcast would OOM exactly when this operator matters;
+    # the left-semi join lets AQE pick broadcast only when it is small.
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
         .unionByName(candidates.select(F.col("id_b").alias("id")))
@@ -234,7 +235,7 @@ def minhash_lsh_pairs(
     )
     lists = (
         sh.select("id", F.xxhash64("shingle").alias("sh64"))
-        .join(F.broadcast(cand_ids), "id")
+        .join(cand_ids, "id", "left_semi")
         .groupBy("id")
         .agg(F.collect_list("sh64").alias("arr"))
     )

@@ -104,32 +104,11 @@ def _list_units(pages_dir: str, source_format: str = "pages") -> list[str]:
 
 
 def _saved_records(spark: SparkSession, files: list[str]) -> DataFrame:
-    """Wire-format (`.saved`) units -> the parsed-records shape.
+    """Wire-format (`.saved`) units -> the parsed-records shape (NewLogReader
+    semantics; see ``saved_records_projection`` for the column contract)."""
+    from log_server_spark.sources.saved_format import read_saved, saved_records_projection
 
-    Records arrive already structured (NewLogReader semantics — the decode
-    guards RAISE on corruption, like the reference, so there is no error
-    route from this source), with the reference content hash attached by
-    the reader. ``url`` is synthesized as file#seq (unique, deterministic,
-    sorted = source order O4); capture ts := record ts (the wire carries
-    only one); no page language/domain -> routed by the lookup misses
-    (cat_unknown)."""
-    from log_server_spark.sources.saved_format import read_saved
-
-    df = read_saved(spark, files)
-    return df.select(
-        F.concat_ws("#", F.col("source_file"), F.col("rec_seq").cast("string")).alias("url"),
-        F.timestamp_millis(F.col("ts_millis")).alias("warc_ts"),
-        F.lit("und").alias("lang"),
-        F.col("rec_seq").alias("seq"),
-        F.lit("ok").alias("status"),
-        "table",
-        "record_id",
-        "ts_millis",
-        "text",
-        "n_bytes",
-        "record_hash",
-        F.lit("").alias("domain"),
-    )
+    return saved_records_projection(read_saved(spark, files))
 
 
 def _opt_lookup(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -142,13 +121,31 @@ def _committed_batches(wh: Warehouse) -> dict[str, frozenset]:
     """batch id -> the exact unit set its lineage committed. Resume must
     compare unit LISTS, not ids: ids are positional in the sorted file list,
     so a changed batching or a newly landed early-sorting file silently
-    remaps ids to different file sets."""
+    remaps ids to different file sets.
+
+    CEILING: this collects the whole lineage table driver-side — O(batches
+    x units/batch) small rows per run. Fine for years of daily batches
+    (10^4 rows); at ~10^5+ rows (high-frequency micro-batching) the right
+    structure is a snapshot log keyed by batch with only the planned window
+    read back — what an Iceberg catalog's snapshot/manifest list gives for
+    free. The count guard below makes the ceiling loud instead of silent.
+    """
     if not wh.exists(LINEAGE):
         return {}
     out: dict[str, set] = {}
-    for r in (
+    rows = (
         wh.read(LINEAGE).filter(F.col("status") == "committed").select("batch", "unit").collect()
-    ):
+    )
+    if len(rows) > 100_000:
+        import warnings
+
+        warnings.warn(
+            f"lineage has {len(rows)} committed rows; driver-side resume "
+            "bookkeeping is past its design ceiling — switch to a snapshot-"
+            "log catalog (e.g. Iceberg) for this ingest frequency",
+            stacklevel=2,
+        )
+    for r in rows:
         out.setdefault(r["batch"], set()).add(r["unit"])
     return {b: frozenset(u) for b, u in out.items()}
 
@@ -235,6 +232,10 @@ def _drop_batch(wh: Warehouse, batch_id: str) -> None:
 
 KEYS_BUCKETS_DEFAULT = 32
 
+# partition value holding the cross-batch-merged keys written by `archive`'s
+# keys compaction; can never collide with real ids (they match b\d{5})
+ARCHIVED_KEYS_BATCH = "archived"
+
 
 def _keys_table(wh: Warehouse) -> str | None:
     """Register (or re-register) the warehouse's ``records_keys`` as a
@@ -288,6 +289,9 @@ def _keys_table(wh: Warehouse) -> str | None:
         )
         os.makedirs(keys_dir, exist_ok=True)
         spark.sql(f"MSCK REPAIR TABLE {name} SYNC PARTITIONS")
+        # drop any cached file listing from before a filesystem-level change
+        # (partition drop, archive compaction swap)
+        spark.sql(f"REFRESH TABLE {name}")
         _KEYS_SYNCED.add(tag)
     return name
 
@@ -302,6 +306,121 @@ def _keys_desync(wh: Warehouse) -> None:
 
     name = f"records_keys_{hashlib.md5(wh.root.encode()).hexdigest()[:10]}"
     _KEYS_SYNCED.discard(f"{wh.spark.sparkContext.applicationId}:{name}")
+
+
+def compact_keys(wh: Warehouse) -> dict | None:
+    """Merge every batch's ``records_keys`` partition into ONE
+    ``batch=archived`` partition with one file per (day, bucket) —
+    `archive`'s keys-table leg (the reference archives every segment file,
+    index files included: BigStorage.scala:338-350, Directory.scala:129-138).
+
+    Without this, keys fragment at O(batches x days x buckets) files
+    forever — the first ops pain a daily-batch warehouse hits. Bucket ids
+    are preserved by writing through a temp bucketed table with the same
+    CLUSTERED BY spec (bucket-id file naming + bucket-pruned scans keep
+    working; the Exchange-free anti-join is unaffected). Only safe once the
+    source batches are read-only (archived): the merge erases per-batch
+    attribution, and ``_drop_batch`` on an archived batch already refuses.
+
+    Crash-safe via the standard swap protocol: the merged layout is fully
+    built in ``records_keys.compact``, verified by row count, then swapped
+    in; ``Warehouse`` lock-acquisition recovery finishes or discards any
+    interrupted state. Caller must hold the warehouse lock.
+    """
+    import hashlib
+
+    if not wh.exists(RECORDS_KEYS):
+        return None
+    spark = wh.spark
+    keys_dir = wh.path(RECORDS_KEYS)
+    tmp = keys_dir + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    marker = os.path.join(wh.root, "records_keys.bucketed")
+    src = wh.read(RECORDS_KEYS)
+    rows_before = src.count()
+    files_before = len(glob.glob(os.path.join(keys_dir, "**", "*.parquet"), recursive=True))
+    merged = src.select(
+        "table", "record_id", "record_hash", "ts_millis",
+        F.lit(ARCHIVED_KEYS_BATCH).alias("batch"), "day",
+    )
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            buckets = int(f.read().strip())
+        tmp_name = f"records_keys_compact_{hashlib.md5(wh.root.encode()).hexdigest()[:10]}"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        spark.sql(
+            f"""CREATE TABLE {tmp_name} (
+                  `table` STRING, record_id STRING, record_hash INT,
+                  ts_millis BIGINT, batch STRING, day DATE)
+                USING PARQUET
+                PARTITIONED BY (batch, day)
+                CLUSTERED BY (record_hash) INTO {buckets} BUCKETS
+                LOCATION '{tmp}'"""
+        )
+        (
+            merged.repartition(F.col("day"), F.pmod(F.hash("record_hash"), F.lit(buckets)))
+            .write.insertInto(tmp_name)
+        )
+        spark.sql(f"DROP TABLE {tmp_name}")  # external: files stay
+    else:  # legacy plain layout: one file per day
+        merged.repartition("day").write.partitionBy("batch", "day").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"keys compaction row mismatch: {rows_before} -> {rows_after}; aborted"
+        )
+    wh.swap_in(RECORDS_KEYS, tmp)
+    _keys_desync(wh)  # force MSCK + REFRESH on next committed-keys read
+    files_after = len(glob.glob(os.path.join(keys_dir, "**", "*.parquet"), recursive=True))
+    return {
+        "keys_rows": rows_after,
+        "keys_files_before": files_before,
+        "keys_files_after": files_after,
+    }
+
+
+def compact_bookkeeping(wh: Warehouse, archived_ids: set[str]) -> dict:
+    """Merge the archived batches' per-batch bookkeeping files — plus any
+    legacy timestamp-named files and previous merge output — into ONE file
+    per table (lineage / ingest counters / partials): the index-file leg of
+    the reference's archive-everything (Directory.scala:129-138).
+
+    Per-batch file granularity exists so a REPROCESSED batch overwrites its
+    own rows; archived batches are read-only and can never be reprocessed,
+    so their rows can fold into a single merged file. Live (unarchived)
+    batches keep their per-batch files. Same .rewrite + swap protocol as
+    ``_rewrite_without_batch`` (crash-recoverable). Caller holds the lock.
+    """
+    import re
+
+    import pyarrow.parquet as pq
+
+    per_batch_re = re.compile(r"part-(b\d{5})\.parquet$")
+    out = {}
+    for table in (LINEAGE, METRICS_INGEST, METRICS_PARTIALS):
+        d = wh.path(table)
+        if not os.path.isdir(d):
+            continue
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        keep, merge = [], []
+        for f in files:
+            m = per_batch_re.search(os.path.basename(f))
+            (keep if m and m.group(1) not in archived_ids else merge).append(f)
+        if len(merge) <= 1:
+            out[table] = len(files)
+            continue
+        tmp = d + ".rewrite"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for f in keep:
+            os.link(f, os.path.join(tmp, os.path.basename(f)))
+        pq.write_table(
+            pq.read_table(merge), os.path.join(tmp, f"part-archive-{time.time_ns():020d}.parquet")
+        )
+        wh.swap_in(table, tmp)
+        out[table] = len(keep) + 1
+    return out
 
 
 def _ts_day(ts_millis_col):
@@ -336,13 +455,20 @@ def _committed_keys(wh: Warehouse, ts_range: tuple | None = None) -> DataFrame |
         keys = wh.spark.table(name) if name else wh.read(RECORDS_KEYS)
         if ts_range is not None:
             lo, hi = int(ts_range[0]), int(ts_range[1])
-            keys = keys.filter(
-                F.col("day").between(
+            pred = F.col("ts_millis").between(F.lit(lo), F.lit(hi))
+            if name:
+                # day-partition pruning is sound ONLY for bucketed layouts,
+                # whose day= dirs derive from ts_millis. Legacy (round-1)
+                # warehouses wrote day from warc_ts CAPTURE day, so pruning
+                # day with record-ts bounds would drop a committed duplicate
+                # captured outside the batch's header-ts window — silent
+                # re-ingest. Legacy keeps the row-level ts predicate only
+                # (sound, just less file skipping).
+                pred = pred & F.col("day").between(
                     F.date_from_unix_date(F.lit(lo // 86_400_000)),
                     F.date_from_unix_date(F.lit(hi // 86_400_000)),
                 )
-                & F.col("ts_millis").between(F.lit(lo), F.lit(hi))
-            )
+            keys = keys.filter(pred)
         return keys.select(*DEDUP_KEY)
     if not wh.exists(RECORDS):
         return None
@@ -728,7 +854,12 @@ def run_pipeline(
         # batch is later rebuilt — silent data loss under id remapping
         for table in (RECORDS, RECORDS_KEYS):
             for d in glob.glob(os.path.join(wh.path(table), "batch=*")):
-                if os.path.basename(d).split("=", 1)[1] not in done:
+                bid = os.path.basename(d).split("=", 1)[1]
+                # archive's keys compaction merges read-only batches under
+                # batch=archived — committed history, never a torn write
+                if bid == ARCHIVED_KEYS_BATCH:
+                    continue
+                if bid not in done:
                     shutil.rmtree(d)
                     _keys_desync(wh)
         for batch_id, files in batches:

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from log_server_spark.functions.parse import parse_pages
 from log_server_spark.operators.dedup import DEDUP_KEY, anti_join_committed, split_duplicates
+from log_server_spark.plan_util import spread_small_input
 
 # 2024-01-01T00:00:00Z — synthetic record-time origin
 E0 = 1_704_067_200
@@ -95,9 +96,8 @@ def synth_legacy_pages(docs: DataFrame, url_id: str = "doc_id", content_id: str 
     html_s = F.concat(chunk1, F.lit("\n\n---- "), body2)
     # small-input/heavy-compute guard: the documents table fits one parquet
     # split, which would run the downstream Arrow parse on a single core
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    # (file-size-gated, no plan probe — see plan_util.spread_small_input)
+    docs = spread_small_input(docs)
     return docs.select(
         # lpad TRUNCATES beyond the pad width (both engines) — 12 digits
         # keeps string order == numeric order up to 10^12 ids
@@ -403,8 +403,12 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slice", F.regexp_extract("url", r"doc://(\d+)", 1).cast("long") % 3 == 2
     )
 
+    # scratch keyed by (sf_dir, applicationId): two concurrent sessions
+    # benching the same sf_dir must not race each other's rmtree
+    app_id = spark.sparkContext.applicationId
     base = os.path.join(
-        tempfile.gettempdir(), f"lss_e2e_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+        tempfile.gettempdir(),
+        f"lss_e2e_{hashlib.md5(f'{sf_dir}|{app_id}'.encode()).hexdigest()[:10]}",
     )
     shutil.rmtree(base, ignore_errors=True)
     pages_dir = os.path.join(base, "pages")

@@ -164,30 +164,42 @@ def decode_saved_bytes(name: str, data: bytes) -> list[tuple]:
         length, p = read_uint29(data, p)
         if length > MAX_BYTES_BUFFER:
             raise ValueError(f"Read too big byte array size: {length}. Broken data?")
+        if p + length > n:
+            # python slicing would silently yield a SHORT string here; the
+            # reference reader hits EOF mid-read and raises instead
+            raise IndexError(f"string of {length} bytes past EOF at {p}")
         return data[p : p + length].decode("utf-8"), p + length
 
     while pos < n:
-        table, pos = read_str(pos)
-        if not table:
-            raise ValueError(f"Empty tableName in file {name}")
-        if table == "\u0000":
-            raise ValueError(f"Invalid read tableName. Version bytes in middle of file? {name}")
-        marker = data[pos]
-        pos += 1
-        if marker == STRING_ID_MARKER:
-            size, pos = read_uint29(data, pos)
-            rid = data[pos : pos + size].decode("utf-8")
-            pos += size
-        elif marker == EMPTY_ID_MARKER:
-            rid = ""
-        elif marker == INT_ID_MARKER:
-            rid = str(struct.unpack_from(">i", data, pos)[0])
-            pos += 4
-        else:
-            raise ValueError(f"Unknown record id marker {marker} in {name}")
-        ts = struct.unpack_from(">q", data, pos)[0]
-        pos += 8
-        log, pos = read_str(pos)
+        rec_start = pos
+        try:
+            table, pos = read_str(pos)
+            if not table:
+                raise ValueError(f"Empty tableName in file {name}")
+            if table == "\u0000":
+                raise ValueError(f"Invalid read tableName. Version bytes in middle of file? {name}")
+            marker = data[pos]
+            pos += 1
+            if marker == STRING_ID_MARKER:
+                size, pos = read_uint29(data, pos)
+                rid = data[pos : pos + size].decode("utf-8")
+                pos += size
+            elif marker == EMPTY_ID_MARKER:
+                rid = ""
+            elif marker == INT_ID_MARKER:
+                rid = str(struct.unpack_from(">i", data, pos)[0])
+                pos += 4
+            else:
+                raise ValueError(f"Unknown record id marker {marker} in {name}")
+            ts = struct.unpack_from(">q", data, pos)[0]
+            pos += 8
+            log, pos = read_str(pos)
+        except (IndexError, struct.error) as e:
+            # truncated records surface raw IndexError/struct.error from the
+            # byte reads -- wrap them in the same guard-style ValueError with
+            # the file position, matching the reference's wrapped decode
+            # failures (NewLogReader's RuntimeException with context)
+            raise ValueError(f"Truncated record in {name} at byte {rec_start}") from e
         if not log:
             raise ValueError(f"Empty log in file {name}")
         # marker rides along: the reference RecordId is a SUM type
@@ -243,3 +255,28 @@ def read_saved(spark, path: str):
         .select(F.col("path"), F.col("content"))
     )
     return files.mapInArrow(_decode_batches, schema=SAVED_SCHEMA)
+
+
+def saved_records_projection(df):
+    """Decoded `.saved` rows -> the parsed-records shape the pipeline/sink
+    stages consume. Records arrive already structured (the decode guards
+    RAISE on corruption like the reference, so there is no error route from
+    this source); ``url`` is synthesized as file#seq (unique, deterministic,
+    sorted = source order O4); capture ts := record ts (the wire carries
+    only one); no page language/domain -> routed by the lookup misses."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.concat_ws("#", F.col("source_file"), F.col("rec_seq").cast("string")).alias("url"),
+        F.timestamp_millis(F.col("ts_millis")).alias("warc_ts"),
+        F.lit("und").alias("lang"),
+        F.col("rec_seq").alias("seq"),
+        F.lit("ok").alias("status"),
+        "table",
+        "record_id",
+        "ts_millis",
+        "text",
+        "n_bytes",
+        "record_hash",
+        F.lit("").alias("domain"),
+    )

@@ -61,6 +61,72 @@ def streaming_records(
     return with_sink(enrich(ok.unionByName(errors), lang_lookup, domain_lookup))
 
 
+def streaming_saved_records(
+    spark: SparkSession,
+    saved_dir: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Continuous `.saved` / `.saved.gz` ingestion — the wire-format
+    migration path gets the same continuous mode pages have (T2).
+
+    The reference's writer rotates ``current`` -> ``*.saved`` every 5 min
+    (LogWriterClient.scala:26-27); each rotated file is immutable from then
+    on — exactly the append-only-directory contract a streaming file source
+    needs. The binaryFile source tracks seen files in the checkpoint, and
+    each new file decodes through the same ``_decode_batches`` generator the
+    batch reader uses (one task per file, the reference's per-file reader
+    thread as a stream micro-batch)."""
+    from log_server_spark.sources.saved_format import (
+        SAVED_SCHEMA,
+        _decode_batches,
+        saved_records_projection,
+    )
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source's schema is fixed; streaming sources demand
+        # it spelled out rather than inferred
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.saved*")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(saved_dir)
+        .select(F.col("path"), F.col("content"))
+    )
+    decoded = files.mapInArrow(_decode_batches, schema=SAVED_SCHEMA)
+    return saved_records_projection(decoded)
+
+
+def start_saved_ingest(
+    spark: SparkSession,
+    saved_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    watermark: str = "1 day",
+):
+    """Exactly-once streaming ingest of wire-format files into a partitioned
+    record sink, deduplicating on the reference key within the watermark
+    (T3/T4 for the `.saved` migration path). ``available_now=True`` drains
+    the current directory contents and stops — equivalent to one
+    ``update --format saved`` batch run."""
+    records = (
+        streaming_saved_records(spark, saved_dir)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["table", "record_id", "record_hash"])
+        .withColumn("day", F.to_date("warc_ts"))
+    )
+    writer = (
+        records.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("day")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_ingest(
     spark: SparkSession,
     pages_dir: str,

@@ -1,0 +1,372 @@
+"""Round-4 regressions: VERDICT r3 items #3/#6/#7 and the ADVICE r3 fixes
+(legacy keys-day prune soundness, saved-format truncation errors, sliced-
+array _ascii_mask, per-user native cache)."""
+
+import glob
+import os
+import struct
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from log_server_spark.catalog import Warehouse
+from log_server_spark.datagen import gen_domain_lookup, gen_lang_lookup
+from log_server_spark.plans.pipeline import RECORDS, RECORDS_KEYS, run_pipeline
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #3: no unconditional broadcast on the LSH verify candidate side
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_verify_no_forced_broadcast(spark, tmp_path):
+    from log_server_spark.operators.dedup_text import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + ("x" * (i % 3)))
+         for i in range(20)],
+        "id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, "id", "text")
+    analyzed = pairs._jdf.queryExecution().analyzed().toString()
+    # a broadcast() hint survives analysis as ResolvedHint — its absence
+    # means AQE is free to pick the join strategy by observed size
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+    assert "LeftSemi" in analyzed
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #7: query construction must not force RDD conversions
+# ---------------------------------------------------------------------------
+
+
+def test_spread_small_input_file_gated(spark, tmp_path):
+    from log_server_spark.plan_util import scan_bytes_estimate, spread_small_input
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array(range(100), pa.int64()),
+                  "text": pa.array(["hello world"] * 100)}),
+        p,
+    )
+    df = spark.read.parquet(p)
+    est = scan_bytes_estimate(df)
+    assert est is not None and 0 < est < (1 << 20)
+    target = spark.sparkContext.defaultParallelism
+    spread = spread_small_input(df)
+    assert spread.rdd.getNumPartitions() == target  # test-side probe only
+    # in-memory frames (no backing files) conservatively spread too
+    mem = spark.createDataFrame([(1, "a")], "id long, text string")
+    assert scan_bytes_estimate(mem) is None
+    assert spread_small_input(mem).rdd.getNumPartitions() == target
+
+
+def test_no_rdd_probe_in_query_construction():
+    """The plan-construction RDD probe (df.rdd.getNumPartitions) must stay
+    out of query-building code — it forces an RDD conversion per build and
+    bypasses AQE (VERDICT r3 what's-wrong #3)."""
+    import inspect
+
+    import log_server_spark.operators.dedup_text as dt
+    import log_server_spark.queries_graft as qg
+
+    for mod in (dt, qg):
+        src = inspect.getsource(mod)
+        assert ".rdd" not in src, f"{mod.__name__} still probes df.rdd"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: legacy (pre-bucketing) warehouses must not day-prune with
+# record-ts bounds over capture-day partitions
+# ---------------------------------------------------------------------------
+
+
+def _write_pages_unit(path, rows):
+    pq.write_table(
+        pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r[2].encode() for r in rows], pa.binary()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }),
+        path,
+    )
+
+
+def test_legacy_warehouse_skips_unsound_day_prune(spark, tmp_path_factory):
+    """Simulate a round-1 warehouse whose records_keys day= partitions were
+    written from the CAPTURE day: the committed duplicate must still be
+    caught even though its (wrong) day partition lies outside the new
+    batch's record-ts window."""
+    base = str(tmp_path_factory.mktemp("r4_legacy"))
+    pages = os.path.join(base, "pages")
+    os.makedirs(pages)
+    html = "---- 2024-03-01 10:00:00 level:INFO table:users id:7 op:create\nhello body"
+    _write_pages_unit(
+        os.path.join(pages, "part-00000.parquet"),
+        [("https://a.example.com/p/1", datetime(2024, 5, 15, tzinfo=timezone.utc), html)],
+    )
+    _write_pages_unit(
+        os.path.join(pages, "part-00001.parquet"),
+        [
+            ("https://a.example.com/p/1b", datetime(2024, 6, 20, tzinfo=timezone.utc), html),
+            (
+                "https://a.example.com/p/2",
+                datetime(2024, 6, 20, tzinfo=timezone.utc),
+                "---- 2024-03-02 11:00:00 level:INFO table:users id:8 op:create\nother body",
+            ),
+        ],
+    )
+    pq.write_table(gen_lang_lookup(), os.path.join(base, "lang_lookup.parquet"))
+    pq.write_table(gen_domain_lookup(), os.path.join(base, "domain_lookup.parquet"))
+
+    wh_dir = str(tmp_path_factory.mktemp("r4_legacy_wh"))
+    r1 = run_pipeline(spark, pages, wh_dir, batch_files=1, max_batches=1)
+    assert r1[0].added == 1
+    wh = Warehouse(wh_dir, spark)
+
+    # doctor the warehouse into the round-1 legacy layout: no bucketing
+    # marker, keys day= partition named by the CAPTURE day (2024-05-15),
+    # not the record-header day (2024-03-01)
+    os.remove(os.path.join(wh_dir, "records_keys.bucketed"))
+    from log_server_spark.plans.pipeline import _keys_desync
+
+    _keys_desync(wh)
+    spark.sql("DROP TABLE IF EXISTS " + _legacy_keys_name(wh_dir))
+    batch_dirs = glob.glob(os.path.join(wh.path(RECORDS_KEYS), "batch=*"))
+    assert len(batch_dirs) == 1
+    day_dirs = glob.glob(os.path.join(batch_dirs[0], "day=*"))
+    assert len(day_dirs) == 1 and day_dirs[0].endswith("day=2024-03-01")
+    os.rename(day_dirs[0], os.path.join(batch_dirs[0], "day=2024-05-15"))
+
+    r2 = run_pipeline(spark, pages, wh_dir, batch_files=1)
+    assert len(r2) == 1
+    assert r2[0].added == 1, "only the genuinely new record"
+    assert r2[0].duplicates == 1, "legacy dup caught despite capture-day partitions"
+    ok = wh.read(RECORDS).filter(F.col("status") == "ok")
+    assert ok.count() == 2
+
+
+def _legacy_keys_name(root: str) -> str:
+    import hashlib
+
+    return f"records_keys_{hashlib.md5(root.encode()).hexdigest()[:10]}"
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #4: archive compacts the keys table + bookkeeping files
+# ---------------------------------------------------------------------------
+
+
+def test_archive_compacts_keys_and_bookkeeping(spark, tmp_path_factory, monkeypatch):
+    from log_server_spark.cli import main as cli_main
+    from log_server_spark.datagen import write_dataset
+    from log_server_spark.operators.dedup import DEDUP_KEY, anti_join_committed
+    from log_server_spark.plans.pipeline import (
+        LINEAGE,
+        METRICS_INGEST,
+        METRICS_PARTIALS,
+        _committed_batches,
+        _committed_keys,
+    )
+
+    monkeypatch.setenv("LSS_KEYS_BUCKETS", "4")
+    data = str(tmp_path_factory.mktemp("r4_arc_data"))
+    write_dataset(data, seed=13, n=400, num_files=4)
+    pages = os.path.join(data, "pages")
+    wh_dir = str(tmp_path_factory.mktemp("r4_arc_wh"))
+    run_pipeline(spark, pages, wh_dir, batch_files=1)
+    wh = Warehouse(wh_dir, spark)
+
+    keys_cols = ["table", "record_id", "record_hash", "ts_millis", "day"]
+    before_keys = {tuple(r) for r in wh.read(RECORDS_KEYS).select(*keys_cols).collect()}
+    before_records = {
+        tuple(r) for r in wh.read(RECORDS).select("url", "seq", "table", "record_id").collect()
+    }
+    before_lineage = _committed_batches(wh)
+    expected_files = (
+        wh.read(RECORDS_KEYS)
+        .select("day", F.pmod(F.hash("record_hash"), F.lit(4)).alias("b"))
+        .distinct()
+        .count()
+    )
+    n_days = wh.read(RECORDS_KEYS).select("day").distinct().count()
+
+    rc = cli_main(["archive", "--warehouse", wh_dir])
+    assert rc == 0
+
+    # keys: single batch=archived partition, one file per (day, bucket)
+    batch_dirs = glob.glob(os.path.join(wh.path(RECORDS_KEYS), "batch=*"))
+    assert [os.path.basename(d) for d in batch_dirs] == ["batch=archived"]
+    files = glob.glob(os.path.join(wh.path(RECORDS_KEYS), "**", "*.parquet"), recursive=True)
+    # exactly ONE file per populated (day, bucket) — i.e. days x buckets
+    # once every bucket has data; empty (day, bucket) pairs write nothing
+    assert len(files) == expected_files
+    assert n_days < len(files) <= n_days * 4
+    # keys rows byte-identical
+    after_keys = {tuple(r) for r in wh.read(RECORDS_KEYS).select(*keys_cols).collect()}
+    assert after_keys == before_keys
+    # bookkeeping: one merged file per table, same lineage content
+    for table in (LINEAGE, METRICS_INGEST, METRICS_PARTIALS):
+        fs = glob.glob(os.path.join(wh.path(table), "*.parquet"))
+        assert len(fs) == 1, (table, fs)
+    assert _committed_batches(wh) == before_lineage
+
+    # the anti-join stays Exchange-free on the compacted committed side
+    lo, hi = (
+        wh.read(RECORDS_KEYS).agg(F.min("ts_millis"), F.max("ts_millis")).collect()[0]
+    )
+    committed = _committed_keys(wh, (lo, hi))
+    batch = wh.read(RECORDS).filter(F.col("status") == "ok").select(*DEDUP_KEY)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            anti_join_committed(batch, committed)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange") == 1, plan
+
+    # cross-batch dedup against ARCHIVED keys still works: a late-landing
+    # unit that clones unit 0 must dedup 100% against the merged partition
+    import shutil as _sh
+
+    _sh.copyfile(
+        os.path.join(pages, sorted(os.listdir(pages))[0]),
+        os.path.join(pages, "part-99999.parquet"),
+    )
+    res = run_pipeline(spark, pages, wh_dir, batch_files=1)
+    assert len(res) == 1
+    assert res[0].added == 0, "every parseable record is an archived duplicate"
+    assert res[0].duplicates > 0
+    # records table content for the original batches unchanged
+    after_records = {
+        tuple(r)
+        for r in wh.read(RECORDS)
+        .filter(F.col("batch") != res[0].batch)
+        .select("url", "seq", "table", "record_id")
+        .collect()
+    }
+    assert after_records == before_records
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: saved-format truncation must raise the guard-style ValueError
+# ---------------------------------------------------------------------------
+
+
+def test_decode_saved_truncation_is_valueerror():
+    from log_server_spark.sources.saved_format import decode_saved_bytes, encode_saved
+
+    data = encode_saved([("users", 7, 1_700_000_000_000, "hello")])
+    # cut mid-record at several byte positions: every truncation inside the
+    # record body must surface as the wrapped ValueError, never a raw
+    # IndexError / struct.error
+    for cut in range(5, len(data) - 1):
+        with pytest.raises(ValueError, match="Truncated record|Empty log|Empty tableName"):
+            decode_saved_bytes("t.saved", data[:cut])
+    # version-only file decodes to zero records (not an error)
+    assert decode_saved_bytes("t.saved", struct.pack(">i", 2)) == []
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #8: streaming `.saved` source == batch `--format saved`
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_saved_source_matches_batch(spark, tmp_path):
+    """Incrementally landed `.saved`/`.saved.gz` files drained by the
+    streaming source (checkpointed across two availableNow runs, dedup state
+    retained) must produce exactly the records the batch
+    ``update --format saved`` path ingests — T2/T3 for the wire-format
+    migration path (LogWriterClient.scala:26-27 rotation contract)."""
+    from log_server_spark.sources.saved_format import write_saved
+    from log_server_spark.streaming.stream_pipeline import start_saved_ingest
+
+    ts0 = 1_700_000_000_000
+    saved_dir = tmp_path / "in"
+    os.makedirs(saved_dir)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    recs_a = [("users", i, ts0 + i * 1_000, f"row a{i}") for i in range(50)]
+    write_saved(str(saved_dir / "unit-00000.saved"), recs_a)
+    q = start_saved_ingest(spark, str(saved_dir), out, ckpt, available_now=True)
+    q.awaitTermination(180)
+
+    # second rotation lands later: gz branch + one exact cross-file duplicate
+    recs_b = [("orders", f"u{i}", ts0 + i * 777, f"row b{i}") for i in range(30)]
+    recs_b.append(recs_a[0])
+    write_saved(str(saved_dir / "unit-00001.saved.gz"), recs_b)
+    q = start_saved_ingest(spark, str(saved_dir), out, ckpt, available_now=True)
+    q.awaitTermination(180)
+
+    cols = ["url", "table", "record_id", "ts_millis", "text", "record_hash"]
+    stream_rows = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
+
+    wh_dir = str(tmp_path / "wh")
+    run_pipeline(spark, str(saved_dir), wh_dir, batch_files=1, source_format="saved")
+    batch_rows = {
+        tuple(r)
+        for r in Warehouse(wh_dir, spark)
+        .read(RECORDS)
+        .filter(F.col("status") == "ok")
+        .select(*cols)
+        .collect()
+    }
+    assert len(stream_rows) == 50 + 30  # duplicate dropped by streaming dedup
+    assert stream_rows == batch_rows
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: _ascii_mask over sliced arrays
+# ---------------------------------------------------------------------------
+
+
+def test_ascii_mask_sliced_array():
+    from log_server_spark.functions.parse_vec import _ascii_mask
+
+    arr = pa.array(["café".encode("utf-8"), b"plain", b"ascii"], pa.binary())
+    sliced = arr.slice(1)  # high bytes now live BEFORE offs[0] in the buffer
+    mask = _ascii_mask(sliced)
+    assert mask.tolist() == [True, True]
+    # and a slice that drops a trailing non-ASCII row (bytes past offs[-1])
+    arr2 = pa.array([b"head", "façade".encode("utf-8")], pa.binary())
+    assert _ascii_mask(arr2.slice(0, 1)).tolist() == [True]
+    # unsliced behavior unchanged
+    assert _ascii_mask(arr).tolist() == [False, True, True]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: per-user native kernel cache
+# ---------------------------------------------------------------------------
+
+
+def test_native_cache_is_per_user_and_owned(tmp_path, monkeypatch):
+    import log_server_spark.functions._native as native
+
+    monkeypatch.setenv("LSS_NATIVE_DIR", str(tmp_path / "cache"))
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    fn = native.native_murmur3_rows()
+    if fn is None:
+        pytest.skip("no C compiler available")
+    d = tmp_path / "cache"
+    assert (d.stat().st_mode & 0o777) == 0o700
+    assert d.stat().st_uid == os.getuid()
+    # known-vector sanity through the freshly built kernel
+    from log_server_spark.functions.hashing import murmur3_32
+
+    buf = np.frombuffer(b"hello", dtype=np.uint8)
+    offs = np.array([0], dtype=np.int64)
+    lens = np.array([5], dtype=np.int64)
+    out = np.zeros(1, dtype=np.int32)
+    fn(buf.ctypes.data, offs.ctypes.data, lens.ctypes.data, 1, 0, out.ctypes.data)
+    assert int(out[0]) == murmur3_32(b"hello", 0)
