@@ -19,15 +19,31 @@ runs at C speed inside the Python worker:
   (the residue path), and the two outputs concatenate.
 
 Row-for-row equality of the two paths over every planted error class +
-adversarial edge pages is enforced by tests/test_parse_fastpath.py. The
-reference analogue of this split is the zero-allocation Scala hot loop
-(OldLogReader.scala:19-61) vs its tolerant fallback.
+adversarial edge pages (incl. cp1251/UTF-8/invalid-byte torture cases) is
+enforced by tests/test_parse_fastpath.py. The reference analogue of this
+split is the zero-allocation Scala hot loop (OldLogReader.scala:19-61) vs
+its tolerant fallback.
 
 Why not JVM codegen? A whole-stage-codegen restatement was measured at
 ~1.6x the user-cpu of even the per-record Python path (Java regex over
 multi-KB strings + a second full-text Arrow round-trip to Python for the
 content hash). The Arrow-native path does one Python crossing, no pandas
 object materialization, and no per-row Python on the hot subset.
+
+Why is the residue path still per-record Python (ROADMAP round-3 #5)?
+Because a full vectorization was BUILT and MEASURED SLOWER (round 4): a
+numpy structural UTF-8 validator + batched-C-codec cp1251 decode feeding
+these same kernels ran at 0.3-0.7x the per-record path on both a pure-
+cp1251 record-dense corpus (16 vs 21 MB/s/core) and the datagen non-ASCII
+residue (18 vs 54 MB/s/core, interleaved best-of-8 cpu-seconds). Pages
+are KB-sized with 1-3 records, so the per-record overhead (~8 us) is
+amortized over C-codec decode work that is already vectorized inside
+CPython, while the "vectorized" restatement paid ~25 full-buffer kernel
+passes. Same verdict as the JVM-codegen attempt: measured, rejected, and
+the per-record path kept on evidence. (The measurement also surfaced this
+host's real pathology — glibc munmap of large numpy temporaries costing
+200x in first-touch page faults — fixed globally in session.py via
+MALLOC_MMAP_THRESHOLD_.)
 """
 
 from __future__ import annotations
@@ -94,13 +110,25 @@ def _ascii_mask(html: pa.Array) -> np.ndarray:
     if len(buf) == 0:
         return mask
     hi = buf >= 0x80
-    if not hi.any():
+    n_hi = int(np.count_nonzero(hi))
+    if n_hi == 0:
         return mask
-    pos = np.nonzero(hi)[0]
-    if len(pos) > len(buf) >> 3:  # dense: prefix sum is cheaper than nonzero rows
-        cs = np.zeros(len(buf) + 1, dtype=np.int64)
+    if n_hi > len(buf) >> 3:
+        # dense (e.g. a Cyrillic-heavy corpus): prefix sum beats
+        # materializing the high-byte positions — and the per-row interval
+        # sum is naturally immune to slice/padding bytes outside
+        # [offs[0], offs[-1])
+        cs = np.zeros(len(buf) + 1, dtype=np.int32)
         np.cumsum(hi, out=cs[1:])
         return (cs[offs[1:]] - cs[offs[:-1]]) == 0
+    pos = np.nonzero(hi)[0]
+    # a sliced array (or buffer padding) can expose data-buffer bytes
+    # outside [offs[0], offs[-1]); mapping those through searchsorted would
+    # yield row -1 (silently flags the last row) or n (IndexError) — drop
+    # them first
+    pos = pos[(pos >= offs[0]) & (pos < offs[-1])]
+    if len(pos) == 0:
+        return mask
     rows = np.searchsorted(offs, pos, side="right") - 1
     mask[rows] = False
     return mask
@@ -125,17 +153,23 @@ def _canonical_ids(token: pa.Array) -> pa.Array:
     return pc.if_else(ok, pc.cast(v, pa.string()), token)
 
 
-def _parse_dates(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """Strict ``yyyy-MM-dd HH:mm:ss`` over each row's [5, 24) byte slice ->
-    UTC epoch millis (int64), -1 where invalid. Position-exact ASCII digits
-    + real-calendar validity, numpy end-to-end (parity twin of
-    parse_ref.parse_ts_millis; epoch math is the civil-days formula)."""
+def _parse_dates(
+    buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, offset: int = 5
+) -> np.ndarray:
+    """Strict ``yyyy-MM-dd HH:mm:ss`` over each row's [offset, offset+19)
+    byte slice -> UTC epoch millis (int64), -1 where invalid. Position-exact
+    ASCII digits + real-calendar validity, numpy end-to-end (parity twin of
+    parse_ref.parse_ts_millis; epoch math is the civil-days formula).
+
+    ``offset=5`` reads the header slice in place over ASCII text (byte pos
+    == char pos); the mixed-encoding path pre-slices chars [5, 24) with a
+    codepoint kernel and passes the slice with ``offset=0``."""
     n = len(starts)
     out = np.full(n, -1, dtype=np.int64)
-    cand = np.nonzero(lengths >= 24)[0]
+    cand = np.nonzero(lengths >= offset + 19)[0]
     if len(cand) == 0:
         return out
-    idx = starts[cand, None] + np.arange(5, 24, dtype=np.int64)[None, :]
+    idx = starts[cand, None] + np.arange(offset, offset + 19, dtype=np.int64)[None, :]
     m = buf[idx].astype(np.int64)  # (k, 19) — the header-slice bytes
     sep_ok = (m[:, 4] == 0x2D) & (m[:, 7] == 0x2D) & (m[:, 10] == 0x20) & (m[:, 13] == 0x3A) & (m[:, 16] == 0x3A)
     d = m - 0x30
@@ -177,6 +211,18 @@ def parse_pages_ascii(
     splits = pc.split_pattern(s, "\n\n---- ")
     counts = pc.list_value_length(splits).to_numpy(zero_copy_only=False).astype(np.int64)
     segs = splits.flatten()
+    return _records_from_segments(url, warc_ts, lang, segs, counts)
+
+
+def _records_from_segments(
+    url: pa.Array,
+    warc_ts: pa.Array,
+    lang: pa.Array,
+    segs: pa.Array,
+    counts: np.ndarray,
+) -> pa.Table:
+    """Decoded per-chunk ASCII strings (+ per-page chunk counts) ->
+    records table."""
     total = int(counts.sum())
     page_idx = pa.array(np.repeat(np.arange(len(counts), dtype=np.int64), counts))
     page_starts = np.zeros(len(counts), dtype=np.int64)
@@ -294,7 +340,8 @@ def parse_pages_residue(
 
 
 def parse_record_batch(batch: pa.RecordBatch) -> pa.Table:
-    """One Arrow batch of pages -> records table (ASCII vectorized + residue)."""
+    """One Arrow batch of pages -> records table (ASCII + mixed-encoding
+    vectorized paths; both end in the shared segment kernels)."""
     url, warc_ts, lang = batch.column(0), batch.column(1), batch.column(2)
     html = pc.fill_null(batch.column(3), b"")
     mask = _ascii_mask(html)

@@ -127,6 +127,72 @@ def test_fast_path_matches_reference_on_ascii_fuzz(spark):
     assert out == ref
 
 
+NON_ASCII_EDGE_PAGES: list[bytes] = [
+    # pure cp1251 page (invalid as UTF-8 -> whole-chunk redecode)
+    "---- 2024-03-01 10:00:00 table:логи id:7 op:x\nтело записи".encode("cp1251"),
+    # valid UTF-8 Cyrillic (must NOT be redecoded as cp1251)
+    "---- 2024-03-01 10:00:00 table:логи id:8 op:x\nтело записи".encode("utf-8"),
+    # mixed page: ASCII chunk + cp1251 chunk + UTF-8 chunk (charset choice
+    # is PER CHUNK, SourceUtils.scala:8-13 applied per record)
+    b"---- 2024-03-01 10:00:00 table:t id:1\nascii body"
+    + b"\n\n---- "
+    + "2024-03-02 11:00:00 table:t id:2\nтело".encode("cp1251")[7:]
+    + b"\n\n---- "
+    + "2024-03-03 12:00:00 table:t id:3\nтело".encode("utf-8")[7:],
+    # a GENUINE U+FFFD in valid UTF-8 still triggers the cp1251 redecode
+    # (parse_ref checks the decoded string for the replacement char)
+    "---- 2024-03-01 10:00:00 table:t id:4\nbody � here".encode("utf-8"),
+    # multibyte char INSIDE the date window shifts char-vs-byte positions
+    "é--- 2024-03-01 10:00:00 table:t id:5\nbody".encode("utf-8"),
+    "-я-- 2024-03-01 10:00:00 table:t id:5\nbody".encode("cp1251"),
+    # multibyte directly before the window: byte slice != char slice
+    "πé--- 2024-03-01 10:00:00 table:t id:5\nbody".encode("utf-8"),
+    # non-ASCII id / table tokens (\S covers them in both engines)
+    "---- 2024-03-01 10:00:00 table:ros.таблица id:идент77\nbody".encode("utf-8"),
+    "---- 2024-03-01 10:00:00 table:ros.таблица id:идент77\nbody".encode("cp1251"),
+    # cp1251 high bytes that ARE valid UTF-8 when adjacent (torture: the
+    # sniff sees valid UTF-8 and keeps it even though cp1251 "meant" it)
+    b"---- 2024-03-01 10:00:00 table:t id:6\n\xd0\xb0 body",
+    # lone high byte (invalid UTF-8 everywhere) -> cp1251
+    b"---- 2024-03-01 10:00:00 table:t id:9\nbody \xff tail",
+    # high bytes in an err_no_newline chunk
+    "нет переносов строк вообще".encode("cp1251"),
+    # trailing non-ASCII whitespace-adjacent bytes (trim must not eat them)
+    "---- 2024-03-01 10:00:00 table:t id:10\nbody я \t".encode("cp1251"),
+]
+
+
+def test_fast_path_matches_reference_on_non_ascii_edge_pages(spark):
+    """The vectorized mixed-encoding path (round 4) against parse_ref:
+    per-chunk charset decision, codepoint date slice, utf8-byte hashing."""
+    out, ref = _rows(spark, _pages_df(spark, NON_ASCII_EDGE_PAGES))
+    assert len(out) == len(ref)
+    for a, b in zip(out, ref):
+        assert a == b, f"\nfast: {a}\nref:  {b}"
+
+
+def test_fast_path_matches_reference_on_non_ascii_fuzz(spark):
+    """Deterministic fuzz over byte soup mixing delimiter fragments with
+    cp1251/UTF-8/invalid high-byte runs, overlongs, surrogates, and
+    truncated multibyte sequences at chunk ends."""
+    rng = random.Random(20260817)
+    frags = [
+        b"\n\n---- ", b"---- ", b"2024-03-01 10:00:00", b" table:users",
+        b" id:42", b"\n", b" ", b"body", b"\xff", b"\xd0", b"\xb0",
+        "тело".encode("cp1251"), "тело".encode("utf-8"), b"\xef\xbf\xbd",
+        "é".encode("utf-8"), b"\xe9", b"\x00\x1f", b"----",
+        b"\xc0\xaf", b"\xed\xa0\x80", b"\xf4\x90\x80\x80", "😀".encode(),
+        b"\xe0\xa0", b"\xf0\x90\x80", b"\xc2",
+    ]
+    pages = []
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        pages.append(b"".join(rng.choice(frags) for _ in range(n)))
+    out, ref = _rows(spark, _pages_df(spark, pages))
+    assert len(out) == len(ref)
+    assert out == ref
+
+
 def test_fast_path_plan_is_single_arrow_crossing(spark):
     """The fast path must be ONE MapInArrow node — no row-at-a-time Python
     (BatchEvalPython), no pandas conversion (MapInPandas), no second Python
