@@ -40,6 +40,16 @@ def get_spark(
     # drowns in scheduling/TLB churn (observed: sys time >> user time)
     for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # glibc mmap()s every allocation above ~128 KB and munmap()s it on free,
+    # so EVERY large numpy/Arrow temporary re-pays first-touch page faults —
+    # and concurrent munmap across N workers is an N-way TLB-shootdown IPI
+    # storm (measured on this host: a 14M-element np.cumsum cost 9.5 s the
+    # mmap way vs 0.04 s from reused heap pages — 200x). Raising the mmap
+    # threshold makes workers recycle heap pages instead. Workers inherit
+    # the env at fork, so this must be set before the first worker spawns;
+    # per-process heaps grow by at most the threshold's high-water mark.
+    for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(var, str(256 * 1024 * 1024))
 
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -82,6 +92,12 @@ def get_spark(
         # dedup anti-join clusters on (table, record_id, record_hash) —
         # allowing the subset keeps the committed side Exchange-free
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # ship the malloc tuning to cluster executors too (local workers
+        # already inherit the driver env set above)
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", os.environ["MALLOC_MMAP_THRESHOLD_"])
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", os.environ["MALLOC_TRIM_THRESHOLD_"])
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
