@@ -117,6 +117,14 @@ def cmd_archive(args) -> int:
     records_dir = os.path.join(args.warehouse, "records")
     old_dir = records_dir + ".old"
     tmp_dir = records_dir + ".compact"
+    # archive is where compression strength belongs (the reference keeps
+    # live segments uncompressed and gzips at archive time,
+    # BigStorage.scala:338-350): the ingest write uses zstd level 1 for
+    # wall speed, the compaction rewrite pays for density once
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "parquet.compression.codec.zstd.level",
+        os.environ.get("LSS_ARCHIVE_ZSTD_LEVEL", "6"),
+    )
     with wh.lock():
         shutil.rmtree(tmp_dir, ignore_errors=True)
         df = spark.read.parquet(records_dir)

@@ -8,14 +8,21 @@ key but different content are all kept (not last-write-wins).
 
 Spark restatement, scale-first:
 
-- **in-batch**: a window ``row_number`` over the dedup key ordered by
-  ``(url, warc_ts, seq)`` keeps exactly one row per key. This is a
-  DETERMINISTIC tie-break (a bare ``dropDuplicates`` would be
-  nondeterministic under parallel scan order), not byte-level source-order
-  parity with the reference's O4 guarantee: when one dedup key appears
-  under different urls, the lexicographically-first url wins here, whereas
-  the reference keeps the first in sorted-file/row order. Provenance
-  columns of the survivor can differ; the surviving KEY set is identical.
+- **in-batch**: ``min_by(whole row, order tuple)`` grouped by the dedup
+  key keeps exactly one row per key. This is a DETERMINISTIC tie-break (a
+  bare ``dropDuplicates`` would be nondeterministic under parallel scan
+  order), not byte-level source-order parity with the reference's O4
+  guarantee: when one dedup key appears under different urls, the
+  lexicographically-first url wins here, whereas the reference keeps the
+  first in sorted-file/row order. Provenance columns of the survivor can
+  differ; the surviving KEY set is identical. The aggregate formulation
+  replaces a ``row_number`` window (round 1-3): the window cost a full
+  shuffle + per-partition SORT and moved every duplicate row across the
+  wire, while the hash aggregate collapses duplicates map-side BEFORE the
+  shuffle and never sorts — measured ~8 s of a ~50 s 240k-page batch at
+  local[1], and strictly less shuffle on a dup-heavy corpus. The
+  tie-break is identical because the order tuple (url, warc_ts, seq) is
+  unique per row and struct comparison is lexicographic, same as ORDER BY.
 - **cross-batch**: a left-anti join of the incoming batch against the
   committed key projection. At 100 TB the committed side is pruned to the
   incoming batch's record-ts (``ts_millis``) day range before the join —
@@ -33,13 +40,20 @@ DEDUP_KEY = ["table", "record_id", "record_hash"]
 
 
 def dedup_in_batch(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
-    """First-wins per dedup key within one batch, deterministically."""
+    """First-wins per dedup key within one batch, deterministically.
+
+    ObjectHashAggregate, not a window: duplicates collapse in the partial
+    (map-side) aggregate, the shuffle carries one row per key, and nothing
+    sorts. Equivalent to ``row_number() over (partition by key order by
+    order_cols) = 1`` because the order tuple is unique per row.
+    """
     order_cols = order_cols or ["url", "warc_ts", "seq"]
-    w = Window.partitionBy(*DEDUP_KEY).orderBy(*[F.col(c).asc() for c in order_cols])
+    row = F.struct(*[F.col(c) for c in df.columns])
+    ordk = F.struct(*[F.col(c) for c in order_cols])
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(*DEDUP_KEY)
+        .agg(F.min_by(row, ordk).alias("_row"))
+        .select("_row.*")
     )
 
 
@@ -56,10 +70,15 @@ def anti_join_committed(batch: DataFrame, committed_keys: DataFrame | None) -> D
 
 
 def split_duplicates(df: DataFrame, order_cols: list[str] | None = None):
-    """Return (kept, dup_count_df) — dup counts feed the ingest metrics (A4)."""
+    """Return (kept, dups). ``kept`` is the hash-aggregate first-wins set
+    (see dedup_in_batch — this is what the pipeline consumes; dup COUNTS
+    come from the ingest observe metrics, not this frame). ``dups`` is the
+    complementary row set via the row_number window, built lazily for
+    callers that need the actual duplicate rows (none in the pipeline hot
+    path — keep it out of jobs you care about)."""
     order_cols = order_cols or ["url", "warc_ts", "seq"]
     w = Window.partitionBy(*DEDUP_KEY).orderBy(*[F.col(c).asc() for c in order_cols])
-    tagged = df.withColumn("_rn", F.row_number().over(w))
-    kept = tagged.filter(F.col("_rn") == 1).drop("_rn")
-    dups = tagged.filter(F.col("_rn") > 1).drop("_rn")
-    return kept, dups
+    dups = (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1).drop("_rn")
+    )
+    return dedup_in_batch(df, order_cols), dups
