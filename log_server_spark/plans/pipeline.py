@@ -479,6 +479,58 @@ def _committed_keys(wh: Warehouse, ts_range: tuple | None = None) -> DataFrame |
     return keys.select(*DEDUP_KEY)
 
 
+def _sink_salts(wh: Warehouse, salt: int) -> dict[str, int] | None:
+    """Per-sink salt sized by the sink-volume distribution OBSERVED in the
+    newest committed batch's partials — the north_rule's skew-adaptive salt
+    with ZERO extra Spark jobs (the partials are O(sinks x days) rows read
+    driver-side via pyarrow; an in-batch count would cost a full extra pass
+    over the batch at 100 TB). A steady pipeline's last batch predicts the
+    next one; the budget is the same |sinks| * salt reducer-group total the
+    uniform salt spends, reallocated by volume with a floor of 1 — so the
+    hot sink's files stay near the target size instead of salt-times too
+    big, and cold sinks write ONE file instead of `salt` shards.
+    Returns None (uniform salt) when no partials exist yet."""
+    import pyarrow.parquet as pq
+
+    d = wh.path(METRICS_PARTIALS)
+    if not wh.exists(METRICS_PARTIALS):
+        return None
+    try:
+        t = pq.read_table(d, columns=["batch", "sink", "n_rows"])
+    except Exception:
+        return None
+    if t.num_rows == 0:
+        return None
+    import collections
+
+    latest = max(t.column("batch").to_pylist())
+    counts: dict[str, int] = collections.defaultdict(int)
+    for b, s, n in zip(
+        t.column("batch").to_pylist(), t.column("sink").to_pylist(), t.column("n_rows").to_pylist()
+    ):
+        if b == latest:
+            counts[s] += int(n or 0)
+    total = sum(counts.values())
+    if total <= 0:
+        return None
+    budget = salt * len(counts)
+    return {
+        s: max(1, min(budget, round(budget * n / total))) for s, n in counts.items()
+    }
+
+
+def _salt_expr(wh: Warehouse, salt: int, partition_cols: tuple[str, ...]):
+    """Salt modulus as a Column: per-sink adaptive when history exists and
+    the layout partitions by sink, else the uniform constant."""
+    salts = _sink_salts(wh, salt) if "sink" in partition_cols else None
+    if not salts:
+        return F.lit(salt)
+    expr = F.lit(salt)  # unseen sinks fall back to the uniform salt
+    for s, v in sorted(salts.items()):
+        expr = F.when(F.col("sink") == s, F.lit(v)).otherwise(expr)
+    return expr
+
+
 def run_batch(
     spark: SparkSession,
     wh: Warehouse,
@@ -577,9 +629,14 @@ def run_batch(
     # reducers. Keeping reducer keys aligned with the output partition
     # columns bounds the file count at |dirs| * salt (a hash-partitioned
     # shuffle that ignores the output layout would make every reducer write
-    # every directory — thousands of tiny files).
+    # every directory — thousands of tiny files). When previous batches'
+    # partials exist, the salt adapts to the OBSERVED per-sink volume
+    # (uniform salt gives the coldest sink as many file slots as the
+    # hottest): the hot sink gets proportionally more reducers, cold sinks
+    # collapse to one file, total reducer groups stay ~|sinks| * salt.
     out = routed.repartition(
-        *[F.col(c) for c in partition_cols], F.pmod(F.hash("url"), F.lit(salt))
+        *[F.col(c) for c in partition_cols],
+        F.pmod(F.hash("url"), _salt_expr(wh, salt, partition_cols)),
     )
     out.write.mode("append").partitionBy("batch", *partition_cols).parquet(wh.path(RECORDS))
     _mark("write")

@@ -278,6 +278,48 @@ def test_decode_saved_truncation_is_valueerror():
 
 
 # ---------------------------------------------------------------------------
+# north_rule skew salt: adaptive per-sink reducer counts from partials
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_salt_reallocates_files_by_sink_volume(spark, tmp_path_factory):
+    """Batch 2+ sizes its salt from batch 1's observed per-sink volumes:
+    cold sinks collapse to one file, the hot sink gets more than the
+    uniform salt, total rows and dedup results unchanged."""
+    from log_server_spark.datagen import write_dataset
+    from log_server_spark.plans.pipeline import _sink_salts
+
+    data = str(tmp_path_factory.mktemp("r4_salt_data"))
+    write_dataset(data, seed=21, n=600, num_files=2)
+    pages = os.path.join(data, "pages")
+    wh_dir = str(tmp_path_factory.mktemp("r4_salt_wh"))
+    # batch 1: no history -> uniform salt
+    run_pipeline(spark, pages, wh_dir, batch_files=1, max_batches=1, salt=4)
+    wh = Warehouse(wh_dir, spark)
+    salts = _sink_salts(wh, 4)
+    assert salts, "partials from batch 1 drive batch 2's salt"
+    total_budget = 4 * len(salts)
+    assert sum(salts.values()) <= total_budget + len(salts)
+    assert min(salts.values()) >= 1
+    # volumes are skewed, so at least one sink must exceed the uniform salt
+    # and at least one must collapse below it
+    assert max(salts.values()) > 4 and min(salts.values()) < 4
+
+    run_pipeline(spark, pages, wh_dir, batch_files=1, salt=4)
+    # per-sink file counts of batch 2 respect the adaptive allocation
+    import collections
+
+    files_by_sink = collections.Counter()
+    for f in glob.glob(os.path.join(wh.path(RECORDS), "batch=b00001", "sink=*", "*.parquet")):
+        files_by_sink[os.path.basename(os.path.dirname(f)).split("=", 1)[1]] += 1
+    for s, n_files in files_by_sink.items():
+        assert n_files <= salts.get(s, 4), (s, n_files, salts.get(s))
+    # row content is unaffected by the physical salt
+    n = spark.read.parquet(os.path.join(wh.path(RECORDS), "batch=b00001")).count()
+    assert n > 0
+
+
+# ---------------------------------------------------------------------------
 # VERDICT #8: streaming `.saved` source == batch `--format saved`
 # ---------------------------------------------------------------------------
 
