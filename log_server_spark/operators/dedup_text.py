@@ -252,6 +252,63 @@ def minhash_lsh_pairs(
     )
 
 
+def components_from_pairs(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    rounds: int = 6,
+) -> DataFrame:
+    """Connected components of a near-dup pair graph: every node labeled
+    with the SMALLEST id reachable through pairs — the "keep one per
+    near-dup group" primitive that turns pairwise dedup output into actual
+    drop decisions. Returns (node, lbl).
+
+    Pointer-jumping min-label propagation: each round takes the min label
+    over neighbors (one equi-join + partial-agg groupBy on node id) and
+    then jumps ``lbl <- lbl(lbl)`` (one self-equi-join), so ``rounds`` = r
+    covers components of diameter up to ~2^r; the default 6 handles
+    diameter 64 — far beyond near-dup clusters, which are near-cliques
+    (every pair of clones shares the same shingles, so diameter 1-2). For
+    general graphs of unbounded diameter raise ``rounds`` (cost is linear
+    in it) or switch to large-star/small-star; the near-dup use case never
+    needs to.
+
+    Iterative-algorithm plumbing, the standard Spark idiom (GraphFrames
+    does the same): every round ``localCheckpoint``s the label frame.
+    Each round references the previous labels TWICE (neighbor join +
+    pointer jump), so without lineage truncation the plan tree doubles per
+    round — 2^rounds copies of the pair-generator subplan, which blows up
+    Catalyst's tree traversals (measured: OOM in plan-string generation at
+    rounds=6). The checkpoint materializes O(V) (long, long) rows on the
+    EXECUTORS — nothing lands on the driver — and each round's shuffle is
+    O(V + E) label rows, never the documents themselves.
+    """
+    e = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    lab = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    for _ in range(rounds):
+        nbr = (
+            edges.join(lab.withColumnsRenamed({"node": "dst", "lbl": "nlbl"}), "dst")
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nlbl"))
+            .withColumnRenamed("src", "node")
+        )
+        lab = (
+            lab.join(nbr, "node", "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        # pointer jump: labels are always real node ids, so lbl(lbl) exists
+        # and is <= lbl (labels only ever decrease from the node id)
+        jump = lab.select(F.col("node").alias("lbl"), F.col("lbl").alias("jlbl"))
+        lab = lab.join(jump, "lbl").select("node", F.col("jlbl").alias("lbl")).localCheckpoint()
+    return lab
+
+
 def _base_hash_mod_p(col, base: str):
     """Per-shingle universal-hash base ``b`` in [0, P): matches
     minhash_signatures (xxhash64) / minhash_signatures_md5 (md5) exactly so

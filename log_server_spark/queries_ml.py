@@ -686,6 +686,56 @@ FROM s
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: LSH pairs -> connected components -> one keeper
+    per group — the primitive that turns pairwise dedup output into actual
+    keep/drop decisions over the whole corpus. Oracle replays the pair
+    generation (md5-base LSH, bit-identical math) and closes the graph with
+    a recursive CTE."""
+    from log_server_spark.operators.dedup_text import components_from_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=8, shingle_n=3, threshold=0.5, base="md5",
+    )
+    # clone groups are near-cliques (diameter 1-2); rounds=3 covers
+    # diameter 8 while halving the checkpoint jobs of the default
+    comp = components_from_pairs(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b",
+        rounds=3,
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("keeper_id"),
+        (F.col("node") != F.col("lbl")).alias("is_dup"),
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    pairs_sql = _minhash_lsh_sql().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
+)
+SELECT doc_id, min(lbl) AS keeper_id, (min(lbl) <> doc_id) AS is_dup
+FROM walk GROUP BY doc_id
+"""
+
+
+SQL_DEDUP_CLUSTERS = _dedup_clusters_sql()
+
+
 REGISTRY_ML: dict[str, tuple] = {
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -695,6 +745,7 @@ REGISTRY_ML: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_EMBEDDING_COSINE_TOPK),

@@ -368,6 +368,30 @@ def test_streaming_saved_source_matches_batch(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> keepers
+# ---------------------------------------------------------------------------
+
+
+def test_components_from_pairs_chain_and_singletons(spark):
+    """Pointer-jumping label propagation must collapse a chain whose
+    diameter (19) far exceeds the round count (6 rounds -> 2^6): the jump
+    step is what makes that possible. Singletons keep themselves."""
+    from log_server_spark.operators.dedup_text import components_from_pairs
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)]  # chain 0..19
+        + [(25, 27), (27, 29)],  # small triangle-ish component
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["lbl"] for r in components_from_pairs(ids, pairs).collect()}
+    assert all(got[i] == 0 for i in range(20))
+    assert got[25] == got[27] == got[29] == 25
+    for i in (20, 21, 22, 23, 24, 26, 28):
+        assert got[i] == i
+
+
+# ---------------------------------------------------------------------------
 # ADVICE: _ascii_mask over sliced arrays
 # ---------------------------------------------------------------------------
 
