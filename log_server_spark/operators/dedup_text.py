@@ -220,30 +220,31 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
-    # exact verify on the candidate DOCS only: semi-join prunes the shingle
-    # scan to candidate ids, one collect_list per candidate doc, and the
-    # pair intersection is an array op — the committed shingle frame is
-    # never self-joined whole (shuffle O(candidate docs), not O(corpus)).
-    # No broadcast hint: the candidate-id set is OUTPUT-sensitive (a
-    # near-dup-heavy corpus can yield tens of millions of ids), so a forced
-    # driver-routed broadcast would OOM exactly when this operator matters;
-    # the left-semi join lets AQE pick broadcast only when it is small.
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("id"))
-        .unionByName(candidates.select(F.col("id_b").alias("id")))
-        .distinct()
+    # exact verify in ONE consumption of `candidates` (round 4): explode
+    # each candidate pair into its two doc ids, equi-join that against the
+    # shingle frame, and count the shingles seen from BOTH sides of a pair
+    # (per-doc shingles are distinct, so a (pair, shingle) group of size 2
+    # == one shared shingle). Everything downstream of the bucket join is
+    # sized by the CANDIDATE volume (output-sensitive, never O(corpus) and
+    # never a driver broadcast), and because nothing else consumes
+    # `candidates`, the expensive sig+band self-join subplan is evaluated
+    # exactly once — the previous formulation (semi-join pruned
+    # collect_list) referenced it twice (candidate ids + output join), and
+    # Spark re-ran the whole signature aggregation for each reference.
+    pair_docs = candidates.select(
+        "id_a", "id_b", "sz_a", "sz_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
     )
-    lists = (
-        sh.select("id", F.xxhash64("shingle").alias("sh64"))
-        .join(cand_ids, "id", "left_semi")
-        .groupBy("id")
-        .agg(F.collect_list("sh64").alias("arr"))
+    hits = pair_docs.join(sh.select("id", F.xxhash64("shingle").alias("sh64")), "id")
+    shared = (
+        hits.groupBy("id_a", "id_b", "sz_a", "sz_b", "sh64")
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("shared"))
     )
     return (
-        candidates.join(lists.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")), "id_a")
-        .join(lists.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")), "id_b")
-        .withColumn("shared", F.size(F.array_intersect("arr_a", "arr_b")))
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"), 4),
         )
