@@ -392,6 +392,92 @@ def test_components_from_pairs_chain_and_singletons(spark):
         assert got[i] == i
 
 
+def test_components_from_pairs_random_graphs_vs_union_find(spark):
+    """Randomized oracle: min-label components must equal a driver-side
+    union-find on arbitrary sparse graphs (multiple seeds, isolated nodes,
+    self-contained chains/cycles/cliques arise naturally)."""
+    import random
+
+    from log_server_spark.operators.dedup_text import components_from_pairs
+
+    rng = random.Random(20260819)
+    for _trial in range(3):
+        n = rng.randint(10, 50)
+        m = rng.randint(0, n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(n)}
+        # canonicalize to min-of-component
+        comp_min: dict[int, int] = {}
+        for i in range(n):
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, i), i)
+        want = {i: comp_min[find(i)] for i in range(n)}
+
+        ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pdf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+        if not edges:
+            pdf = pdf.filter("id_a <> id_a")  # empty edge set
+        got = {r["node"]: r["lbl"] for r in components_from_pairs(ids, pdf).collect()}
+        assert got == want, (n, sorted(edges))
+
+
+# ---------------------------------------------------------------------------
+# Streaming parity widening: .saved -> records sink -> session stage chain
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_saved_chain_to_sessions(spark, tmp_path):
+    """The wire-format stream composes with the stage-2 sessionizer through
+    a committed file sink: `.saved` files -> start_saved_ingest (records
+    sink with _spark_metadata commit log) -> start_record_sessions, all
+    availableNow, exactly-once across the chain."""
+    from log_server_spark.sources.saved_format import write_saved
+    from log_server_spark.streaming.stream_pipeline import (
+        start_record_sessions,
+        start_saved_ingest,
+    )
+
+    ts0 = 1_700_000_000_000
+    saved_dir = tmp_path / "in"
+    os.makedirs(saved_dir)
+    records_dir = str(tmp_path / "records")
+    # two "domains" (tables don't matter to the sessionizer: key is
+    # xxhash64(domain), and the saved projection sets domain="") — all
+    # records share one key here; gaps in capture ts split sessions
+    recs = [("users", i, ts0 + i * 60_000, f"r{i}") for i in range(5)]
+    recs += [("users", 100 + i, ts0 + 3_600_000 * 3 + i * 60_000, f"s{i}") for i in range(4)]
+    write_saved(str(saved_dir / "unit-00000.saved"), recs)
+    q = start_saved_ingest(spark, str(saved_dir), records_dir, str(tmp_path / "ck1"), available_now=True)
+    q.awaitTermination(180)
+
+    out_dir = str(tmp_path / "sessions")
+    q = start_record_sessions(
+        spark, records_dir, out_dir, str(tmp_path / "ck2"),
+        watermark="30 minutes", available_now=True,
+    )
+    q.awaitTermination(180)
+    sessions = spark.read.parquet(out_dir).collect()
+    # the first burst (5 events, 1-min gaps) closed in-batch when the
+    # 3-hour-later burst opened a new session past the 30-min gap
+    assert len(sessions) >= 1
+    s = min(sessions, key=lambda r: r["session_start"])
+    assert s["n_events"] == 5
+    assert s["session_end"] - s["session_start"] == 4 * 60_000
+
+
 # ---------------------------------------------------------------------------
 # ADVICE: _ascii_mask over sliced arrays
 # ---------------------------------------------------------------------------
