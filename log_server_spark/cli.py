@@ -126,6 +126,13 @@ def cmd_archive(args) -> int:
         os.environ.get("LSS_ARCHIVE_ZSTD_LEVEL", "6"),
     )
     with wh.lock():
+        # sweep TORN batches FIRST: a crashed run's lineage-less batch dir
+        # must never be compacted into batch=archived or marked read-only —
+        # its orphaned keys would anti-join the reprocessed records away
+        # while the torn records themselves get deleted (data loss)
+        from log_server_spark.plans.pipeline import sweep_torn_batches
+
+        swept = sweep_torn_batches(wh)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         df = spark.read.parquet(records_dir)
         n_before = len(glob.glob(os.path.join(records_dir, "**", "*.parquet"), recursive=True))
@@ -177,6 +184,7 @@ def cmd_archive(args) -> int:
                 "files_after": n_after,
                 "rows": rows_after,
                 "archived": archived,
+                "swept_torn": swept,
                 "keys": keys_stats,
                 "bookkeeping": book_stats,
             }

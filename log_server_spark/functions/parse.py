@@ -7,8 +7,10 @@ semantic truth — see its docstring for reference citations):
   :func:`log_server_spark.functions.parse_vec.parse_record_batch` — pure
   pyarrow/numpy kernels for ASCII pages (C++ split/trim/RE2 + numpy date
   parse + zero-copy murmur3 over the Arrow buffer), with non-ASCII pages
-  (the cp1251 sniff territory, SourceUtils.scala:8-13) going through the
-  same kernels after a per-CHUNK charset decision. One Python
+  (the cp1251 sniff territory, SourceUtils.scala:8-13) falling back to
+  ``parse_ref.parse_page`` per record inside the same batch — kept on
+  MEASURED evidence: a full vectorization of that residue ran 0.3-0.7x
+  slower (see parse_vec.py's docstring). One Python
   crossing, no pandas object materialization, no per-row Python on the hot
   subset. See parse_vec's docstring for why this beats a JVM codegen
   restatement.
@@ -97,9 +99,9 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def _parse_batches_arrow(batches):
     """mapInArrow generator: each Arrow batch of pages through the
-    vectorized parser (parse_vec), yielded as record batches. Non-ASCII
-    pages take parse_vec's mixed-encoding kernel path (per-chunk charset
-    decision, shared downstream kernels) — no per-record Python anywhere."""
+    vectorized parser (parse_vec), yielded as record batches; non-ASCII
+    pages take its per-record residue path (measured faster than the
+    rejected vectorized restatement)."""
     from log_server_spark.functions.parse_vec import parse_record_batch
 
     for batch in batches:

@@ -153,23 +153,19 @@ def _canonical_ids(token: pa.Array) -> pa.Array:
     return pc.if_else(ok, pc.cast(v, pa.string()), token)
 
 
-def _parse_dates(
-    buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, offset: int = 5
-) -> np.ndarray:
-    """Strict ``yyyy-MM-dd HH:mm:ss`` over each row's [offset, offset+19)
-    byte slice -> UTC epoch millis (int64), -1 where invalid. Position-exact
-    ASCII digits + real-calendar validity, numpy end-to-end (parity twin of
+def _parse_dates(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Strict ``yyyy-MM-dd HH:mm:ss`` over each row's [5, 24) byte slice ->
+    UTC epoch millis (int64), -1 where invalid. Position-exact ASCII digits
+    + real-calendar validity, numpy end-to-end (parity twin of
     parse_ref.parse_ts_millis; epoch math is the civil-days formula).
-
-    ``offset=5`` reads the header slice in place over ASCII text (byte pos
-    == char pos); the mixed-encoding path pre-slices chars [5, 24) with a
-    codepoint kernel and passes the slice with ``offset=0``."""
+    Byte slice == char slice because callers only hand this pure-ASCII
+    rows."""
     n = len(starts)
     out = np.full(n, -1, dtype=np.int64)
-    cand = np.nonzero(lengths >= offset + 19)[0]
+    cand = np.nonzero(lengths >= 24)[0]
     if len(cand) == 0:
         return out
-    idx = starts[cand, None] + np.arange(offset, offset + 19, dtype=np.int64)[None, :]
+    idx = starts[cand, None] + np.arange(5, 24, dtype=np.int64)[None, :]
     m = buf[idx].astype(np.int64)  # (k, 19) — the header-slice bytes
     sep_ok = (m[:, 4] == 0x2D) & (m[:, 7] == 0x2D) & (m[:, 10] == 0x20) & (m[:, 13] == 0x3A) & (m[:, 16] == 0x3A)
     d = m - 0x30

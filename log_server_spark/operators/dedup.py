@@ -46,6 +46,12 @@ def dedup_in_batch(df: DataFrame, order_cols: list[str] | None = None) -> DataFr
     (map-side) aggregate, the shuffle carries one row per key, and nothing
     sorts. Equivalent to ``row_number() over (partition by key order by
     order_cols) = 1`` because the order tuple is unique per row.
+
+    CONTRACT: ``order_cols`` must be unique per row within a dedup-key
+    group ((url, warc_ts, seq) and (url, seq) both are — url+seq identify
+    a record). With ties, min_by picks an arbitrary winner, and
+    split_duplicates' window-derived ``dups`` complement could disagree
+    with ``kept`` about which row won.
     """
     order_cols = order_cols or ["url", "warc_ts", "seq"]
     row = F.struct(*[F.col(c) for c in df.columns])

@@ -21,11 +21,11 @@ def _max_partition_bytes(spark) -> int:
         return _DEFAULT_MPB
 
 
-def scan_bytes_estimate(df: DataFrame) -> int | None:
-    """Total size of the files backing a plan, or None if it has non-file
-    sources. Driver metadata only (the scan's FileIndex listing) — NO RDD
-    conversion, no Spark job, and unlike ``df.rdd.getNumPartitions()`` it
-    does not bypass AQE on the frame."""
+def _scan_files_bytes(df: DataFrame) -> tuple[int, int] | None:
+    """(total bytes, file count) of the files backing a plan, or None for
+    non-file sources. Driver metadata only (the scan's FileIndex listing) —
+    NO RDD conversion, no Spark job, and unlike
+    ``df.rdd.getNumPartitions()`` it does not bypass AQE on the frame."""
     try:
         uris = df.inputFiles()
     except Exception:
@@ -39,7 +39,24 @@ def scan_bytes_estimate(df: DataFrame) -> int | None:
             total += os.path.getsize(p)
         except OSError:
             return None
-    return total
+    return total, len(uris)
+
+
+def scan_bytes_estimate(df: DataFrame) -> int | None:
+    """Total size of the files backing a plan, or None for non-file sources."""
+    r = _scan_files_bytes(df)
+    return None if r is None else r[0]
+
+
+def _open_cost_bytes(spark) -> int:
+    raw = spark.conf.get("spark.sql.files.openCostInBytes", str(4 << 20))
+    s = raw.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    try:
+        return int(s)
+    except ValueError:
+        return 4 << 20
 
 
 def spread_small_input(df: DataFrame) -> DataFrame:
@@ -48,11 +65,18 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     Repartition up to the session parallelism only when the file-size
     estimate says the scan yields fewer splits than cores; at real scale the
     scan already has >= cores partitions and this is a no-op (no shuffle,
-    no plan probe). Non-file sources (in-memory test frames) conservatively
-    spread."""
+    no plan probe). The split estimate mirrors Spark's file packing:
+    ceil((total + n_files * openCost) / maxPartitionBytes) — per-file open
+    cost is what keeps many-small-file scans from collapsing into one
+    split. Non-file sources (in-memory test frames) conservatively spread.
+    """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    est = scan_bytes_estimate(df)
-    if est is not None and est // _max_partition_bytes(spark) >= target:
-        return df
+    r = _scan_files_bytes(df)
+    if r is not None:
+        total, n_files = r
+        mpb = _max_partition_bytes(spark)
+        est_splits = (total + n_files * _open_cost_bytes(spark) + mpb - 1) // mpb
+        if est_splits >= target:
+            return df
     return df.repartition(target)

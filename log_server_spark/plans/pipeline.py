@@ -308,6 +308,31 @@ def _keys_desync(wh: Warehouse) -> None:
     _KEYS_SYNCED.discard(f"{wh.spark.sparkContext.applicationId}:{name}")
 
 
+def sweep_torn_batches(wh: Warehouse, done: set | None = None) -> list[str]:
+    """Drop records/records_keys batch partitions that have NO committed
+    lineage row — torn writes from a crashed run. Shared by run_pipeline's
+    resume path and `archive`: archive MUST sweep before compacting or
+    marking, or it would fold a torn batch's uncommitted keys into the
+    read-only ``batch=archived`` partition (where the torn sweep can never
+    reach them) and mark the torn batch id read-only — after which the next
+    run deletes the torn records, reprocesses the units, and the orphaned
+    archived keys silently anti-join every reprocessed record away.
+    Caller must hold the warehouse lock. Returns the swept batch ids."""
+    if done is None:
+        done = set(_committed_batches(wh))
+    swept: list[str] = []
+    for table in (RECORDS, RECORDS_KEYS):
+        for d in glob.glob(os.path.join(wh.path(table), "batch=*")):
+            bid = os.path.basename(d).split("=", 1)[1]
+            if bid == ARCHIVED_KEYS_BATCH:
+                continue  # committed history by construction (see archive)
+            if bid not in done:
+                shutil.rmtree(d)
+                _keys_desync(wh)
+                swept.append(bid)
+    return swept
+
+
 def compact_keys(wh: Warehouse) -> dict | None:
     """Merge every batch's ``records_keys`` partition into ONE
     ``batch=archived`` partition with one file per (day, bucket) —
@@ -920,16 +945,7 @@ def run_pipeline(
         # in place, an earlier batch would anti-join against the stale
         # uncommitted keys and drop rows that vanish for good when the torn
         # batch is later rebuilt — silent data loss under id remapping
-        for table in (RECORDS, RECORDS_KEYS):
-            for d in glob.glob(os.path.join(wh.path(table), "batch=*")):
-                bid = os.path.basename(d).split("=", 1)[1]
-                # archive's keys compaction merges read-only batches under
-                # batch=archived — committed history, never a torn write
-                if bid == ARCHIVED_KEYS_BATCH:
-                    continue
-                if bid not in done:
-                    shutil.rmtree(d)
-                    _keys_desync(wh)
+        sweep_torn_batches(wh, set(done))
         for batch_id, files in batches:
             if batch_id in done:
                 continue

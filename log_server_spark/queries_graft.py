@@ -403,14 +403,19 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slice", F.regexp_extract("url", r"doc://(\d+)", 1).cast("long") % 3 == 2
     )
 
+    import atexit
+
     # scratch keyed by (sf_dir, applicationId): two concurrent sessions
-    # benching the same sf_dir must not race each other's rmtree
+    # benching the same sf_dir must not race each other's rmtree; the
+    # atexit hook stops per-session dirs from accumulating in the temp fs
+    # across repeated bench/correctness runs on a long-lived host
     app_id = spark.sparkContext.applicationId
     base = os.path.join(
         tempfile.gettempdir(),
         f"lss_e2e_{hashlib.md5(f'{sf_dir}|{app_id}'.encode()).hexdigest()[:10]}",
     )
     shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     pages_dir = os.path.join(base, "pages")
     os.makedirs(pages_dir)
     # two unit files = two batches; fixed names pin the sorted-unit order

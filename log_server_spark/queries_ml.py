@@ -699,11 +699,14 @@ def q_dedup_clusters(spark, sf_dir):
         docs, "doc_id", "text",
         num_hashes=16, bands=8, shingle_n=3, threshold=0.5, base="md5",
     )
-    # clone groups are near-cliques (diameter 1-2); rounds=3 covers
-    # diameter 8 while halving the checkpoint jobs of the default
+    # the oracle's recursive CTE computes the EXACT closure, so the Spark
+    # side must fully converge: keep the operator's default rounds=6
+    # (diameter 64 via pointer jumping — clone groups are near-cliques of
+    # diameter 1-2, so this is a wide safety margin, but do NOT trade it
+    # for fewer checkpoint jobs; a chain longer than the bound would label
+    # some nodes with a non-minimal keeper and break oracle parity)
     comp = components_from_pairs(
-        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b",
-        rounds=3,
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
     return comp.select(
         F.col("node").alias("doc_id"),

@@ -77,8 +77,8 @@ def streaming_saved_records(
     batch reader uses (one task per file, the reference's per-file reader
     thread as a stream micro-batch)."""
     from log_server_spark.sources.saved_format import (
-        SAVED_SCHEMA,
-        _decode_batches,
+        SAVED_GLOB,
+        decode_saved_files,
         saved_records_projection,
     )
 
@@ -87,13 +87,13 @@ def streaming_saved_records(
         # the binaryFile source's schema is fixed; streaming sources demand
         # it spelled out rather than inferred
         .schema("path string, modificationTime timestamp, length long, content binary")
-        .option("pathGlobFilter", "*.saved*")
+        .option("pathGlobFilter", SAVED_GLOB)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(saved_dir)
-        .select(F.col("path"), F.col("content"))
     )
-    decoded = files.mapInArrow(_decode_batches, schema=SAVED_SCHEMA)
-    return saved_records_projection(decoded)
+    # decode + projection are the BATCH reader's own wiring (shared helper;
+    # only the readStream line differs between the two ingest paths)
+    return saved_records_projection(decode_saved_files(files))
 
 
 def start_saved_ingest(

@@ -278,6 +278,49 @@ def test_decode_saved_truncation_is_valueerror():
     assert decode_saved_bytes("t.saved", struct.pack(">i", 2)) == []
 
 
+def test_archive_sweeps_torn_batches_before_compacting(spark, tmp_path_factory):
+    """A torn (lineage-less) batch must be swept by `archive`, not folded
+    into batch=archived or marked read-only — otherwise its orphaned keys
+    would anti-join the reprocessed records away after the torn records are
+    deleted (self-review finding, round 4)."""
+    import shutil as _sh
+
+    from log_server_spark.cli import main as cli_main
+    from log_server_spark.datagen import write_dataset
+
+    data = str(tmp_path_factory.mktemp("r4_torn_data"))
+    write_dataset(data, seed=31, n=200, num_files=2)
+    pages = os.path.join(data, "pages")
+    wh_dir = str(tmp_path_factory.mktemp("r4_torn_wh"))
+    run_pipeline(spark, pages, wh_dir, batch_files=1)
+    wh = Warehouse(wh_dir, spark)
+    committed_keys = wh.read(RECORDS_KEYS).count()
+    want_records = {
+        tuple(r) for r in wh.read(RECORDS).select("url", "seq", "table", "record_id").collect()
+    }
+
+    # fabricate a torn batch: data + keys dirs, NO lineage row
+    for table in (RECORDS, RECORDS_KEYS):
+        src = os.path.join(wh.path(table), "batch=b00001")
+        _sh.copytree(src, os.path.join(wh.path(table), "batch=b00099"))
+
+    rc = cli_main(["archive", "--warehouse", wh_dir])
+    assert rc == 0
+    # torn batch swept, not archived, not folded into the merged keys
+    assert "b00099" not in wh.archived_batches()
+    assert not os.path.isdir(os.path.join(wh.path(RECORDS), "batch=b00099"))
+    assert not os.path.isdir(os.path.join(wh.path(RECORDS_KEYS), "batch=b00099"))
+    assert wh.read(RECORDS_KEYS).count() == committed_keys
+    # and the warehouse contents are exactly the committed rows
+    got = {
+        tuple(r) for r in wh.read(RECORDS).select("url", "seq", "table", "record_id").collect()
+    }
+    assert got == want_records
+    # a subsequent resume run has nothing to redo and loses nothing
+    assert run_pipeline(spark, pages, wh_dir, batch_files=1) == []
+    assert wh.read(RECORDS).count() == len(want_records)
+
+
 # ---------------------------------------------------------------------------
 # north_rule skew salt: adaptive per-sink reducer counts from partials
 # ---------------------------------------------------------------------------
