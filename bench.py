@@ -304,6 +304,11 @@ def main() -> None:
         for name in HEADLINE:
             if name not in qs:
                 continue
+            # drop any persisted intermediates from a previous rep/query:
+            # operators that persist() (LSH's signature frame) would
+            # otherwise satisfy later reps from cache via the plan-matching
+            # CacheManager, timing a cache read instead of the operator
+            spark.catalog.clearCache()
             cu0, cs0 = _cpu()
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

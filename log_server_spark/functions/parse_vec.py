@@ -117,8 +117,12 @@ def _ascii_mask(html: pa.Array) -> np.ndarray:
         # dense (e.g. a Cyrillic-heavy corpus): prefix sum beats
         # materializing the high-byte positions — and the per-row interval
         # sum is naturally immune to slice/padding bytes outside
-        # [offs[0], offs[-1])
-        cs = np.zeros(len(buf) + 1, dtype=np.int32)
+        # [offs[0], offs[-1]). Accumulator dtype follows the buffer size:
+        # _str_buf supports large_binary (int64 offsets, >2 GiB buffers),
+        # where an int32 cumsum would overflow past 2^31 high bytes and
+        # silently misclassify rows as ASCII.
+        cs_dt = np.int32 if len(buf) < (1 << 31) else np.int64
+        cs = np.zeros(len(buf) + 1, dtype=cs_dt)
         np.cumsum(hi, out=cs[1:])
         return (cs[offs[1:]] - cs[offs[:-1]]) == 0
     pos = np.nonzero(hi)[0]

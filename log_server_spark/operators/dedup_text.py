@@ -21,6 +21,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from log_server_spark.functions.text import fingerprint, word_ngrams, words
 from log_server_spark.plan_util import spread_small_input
@@ -187,13 +188,34 @@ def minhash_lsh_pairs(
     — docs only meet if an entire band of minima matches — so the pair count
     is output-sensitive, never O(n^2). Verification joins candidates back to
     the shingle frame (semi-join pruned).
+
+    Contract: the output contains only pairs with >= 1 shared shingle (the
+    shared-count aggregation has inner-join semantics — a zero-overlap
+    candidate drops out before the threshold filter rather than surfacing
+    with jaccard=0.0). Invisible for any threshold > 0, which the jaccard
+    filter requires to be meaningful; a caller who wants zero-overlap
+    candidates for scoring should left-join ``candidates`` back with
+    ``coalesce(shared, 0)``.
     """
+    if threshold <= 0.0:
+        raise ValueError(
+            "threshold must be > 0: zero-overlap candidate pairs are not "
+            "emitted (see contract in docstring)"
+        )
     rows_per_band = num_hashes // bands
-    # ONE shingle explode feeds signatures AND sizes (a single groupBy
-    # computes the k minima plus the distinct-shingle count) — the explode
-    # is the dominant cost of this operator (~1 s per pass at sf0.1), and
-    # the naive plan recomputed it four times (signatures, sizes, and both
-    # sides of the verify self-join)
+    # ONE shingle explode, period (round 5): a single groupBy computes the
+    # k minima, the distinct-shingle count, AND the doc's shingle-hash set
+    # (collect_list of xxhash64 — per-doc shingles are distinct). The
+    # resulting per-doc frame is persisted spill-safe, because it has two
+    # genuinely independent consumers — the band self-join (left + right)
+    # and the verify join — and without a persist Catalyst re-evaluates
+    # the whole explode+aggregate subplan per reference (measured in r4:
+    # the second shingle pass was ~half the operator's 37 cpu-s). Column
+    # pruning on the cached relation means the band join never decodes the
+    # `shs` arrays; only the verify (candidate-volume-sized) reads them.
+    # At the 100 TB point this cache is O(docs x num_shingle_hashes) longs
+    # — MEMORY_AND_DISK spills it rather than recomputing two extra corpus
+    # passes, the same trade a materialized intermediate table would make.
     sh = _shingle_frame(df, id_col, text_col, shingle_n).withColumn(
         "b", _base_hash_mod_p(F.col("shingle"), base)
     )
@@ -201,7 +223,11 @@ def minhash_lsh_pairs(
         F.min(F.pmod(F.lit(a) * F.col("b") + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    sig = sh.groupBy("id").agg(*aggs, F.count("*").alias("sz"))
+    sig = sh.groupBy("id").agg(
+        *aggs,
+        F.count("*").alias("sz"),
+        F.collect_list(F.xxhash64("shingle")).alias("shs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -222,20 +248,19 @@ def minhash_lsh_pairs(
     )
     # exact verify in ONE consumption of `candidates` (round 4): explode
     # each candidate pair into its two doc ids, equi-join that against the
-    # shingle frame, and count the shingles seen from BOTH sides of a pair
-    # (per-doc shingles are distinct, so a (pair, shingle) group of size 2
-    # == one shared shingle). Everything downstream of the bucket join is
-    # sized by the CANDIDATE volume (output-sensitive, never O(corpus) and
-    # never a driver broadcast), and because nothing else consumes
-    # `candidates`, the expensive sig+band self-join subplan is evaluated
-    # exactly once — the previous formulation (semi-join pruned
-    # collect_list) referenced it twice (candidate ids + output join), and
-    # Spark re-ran the whole signature aggregation for each reference.
+    # CACHED per-doc shingle-hash sets, and count the shingles seen from
+    # BOTH sides of a pair (per-doc shingles are distinct, so a (pair,
+    # shingle) group of size 2 == one shared shingle). Everything
+    # downstream of the band join is sized by the CANDIDATE volume
+    # (output-sensitive, never O(corpus) and never a driver broadcast);
+    # the shs explode below runs only over candidate docs.
     pair_docs = candidates.select(
         "id_a", "id_b", "sz_a", "sz_b",
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
     )
-    hits = pair_docs.join(sh.select("id", F.xxhash64("shingle").alias("sh64")), "id")
+    hits = pair_docs.join(sig.select("id", "shs"), "id").select(
+        "id_a", "id_b", "sz_a", "sz_b", F.explode("shs").alias("sh64")
+    )
     shared = (
         hits.groupBy("id_a", "id_b", "sz_a", "sz_b", "sh64")
         .agg(F.count("*").alias("ns"))
@@ -260,6 +285,7 @@ def components_from_pairs(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     rounds: int = 6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of a near-dup pair graph: every node labeled
     with the SMALLEST id reachable through pairs — the "keep one per
@@ -277,19 +303,36 @@ def components_from_pairs(
     needs to.
 
     Iterative-algorithm plumbing, the standard Spark idiom (GraphFrames
-    does the same): every round ``localCheckpoint``s the label frame.
-    Each round references the previous labels TWICE (neighbor join +
-    pointer jump), so without lineage truncation the plan tree doubles per
-    round — 2^rounds copies of the pair-generator subplan, which blows up
+    does the same): every round checkpoints the label frame. Each round
+    references the previous labels TWICE (neighbor join + pointer jump),
+    so without lineage truncation the plan tree doubles per round —
+    2^rounds copies of the pair-generator subplan, which blows up
     Catalyst's tree traversals (measured: OOM in plan-string generation at
     rounds=6). The checkpoint materializes O(V) (long, long) rows on the
     EXECUTORS — nothing lands on the driver — and each round's shuffle is
     O(V + E) label rows, never the documents themselves.
+
+    Fault model: ``localCheckpoint`` (the default) stores blocks only on
+    executors — fast, but a lost executor mid-job makes the truncated
+    lineage unrecoverable, so on an hours-long 100 TB cluster run pass
+    ``checkpoint_dir`` (any shared path — HDFS/S3) to use RELIABLE
+    ``checkpoint()`` instead: same labels, each round's frame persisted to
+    storage and recomputable after node loss. Callers can wire it via env
+    (see ``q_dedup_clusters``).
     """
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+
     e = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    edges = _ckpt(
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
     lab = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
     for _ in range(rounds):
         nbr = (
@@ -298,15 +341,14 @@ def components_from_pairs(
             .agg(F.min("nlbl").alias("nlbl"))
             .withColumnRenamed("src", "node")
         )
-        lab = (
+        lab = _ckpt(
             lab.join(nbr, "node", "left")
             .select("node", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
-            .localCheckpoint()
         )
         # pointer jump: labels are always real node ids, so lbl(lbl) exists
         # and is <= lbl (labels only ever decrease from the node id)
         jump = lab.select(F.col("node").alias("lbl"), F.col("lbl").alias("jlbl"))
-        lab = lab.join(jump, "lbl").select("node", F.col("jlbl").alias("lbl")).localCheckpoint()
+        lab = _ckpt(lab.join(jump, "lbl").select("node", F.col("jlbl").alias("lbl")))
     return lab
 
 

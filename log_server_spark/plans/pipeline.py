@@ -317,19 +317,42 @@ def sweep_torn_batches(wh: Warehouse, done: set | None = None) -> list[str]:
     reach them) and mark the torn batch id read-only — after which the next
     run deletes the torn records, reprocesses the units, and the orphaned
     archived keys silently anti-join every reprocessed record away.
-    Caller must hold the warehouse lock. Returns the swept batch ids."""
+    Caller must hold the warehouse lock. Returns the swept batch ids.
+
+    Two safety rails (a sweep is the one place the engine removes data):
+    - If the lineage table is MISSING yet batch partitions exist, refuse
+      loudly: an absent/lost lineage dir would otherwise classify every
+      batch as torn and a plain `archive` would silently empty the
+      warehouse. (A genuinely-torn FIRST batch is still recovered — the
+      per-batch rewrite in ``_run_batch_inner`` deletes its own colliding
+      partition without needing this sweep.)
+    - Swept partitions are RENAMED to ``_torn-<bid>-<ns>`` siblings, not
+      rmtree'd: underscore-prefixed dirs are invisible to Spark/parquet
+      discovery (FileInputFormat hidden-file filter), so they are inert to
+      every query but hand-recoverable after an operator mistake. They are
+      tiny (torn batches are rare) and can be purged manually."""
     if done is None:
         done = set(_committed_batches(wh))
-    swept: list[str] = []
+    candidates: list[tuple[str, str]] = []
     for table in (RECORDS, RECORDS_KEYS):
         for d in glob.glob(os.path.join(wh.path(table), "batch=*")):
             bid = os.path.basename(d).split("=", 1)[1]
             if bid == ARCHIVED_KEYS_BATCH:
                 continue  # committed history by construction (see archive)
             if bid not in done:
-                shutil.rmtree(d)
-                _keys_desync(wh)
-                swept.append(bid)
+                candidates.append((d, bid))
+    if candidates and not done and not wh.exists(LINEAGE):
+        raise RuntimeError(
+            f"refusing to sweep {len(candidates)} batch partition(s) as torn: "
+            f"no lineage table at {wh.path(LINEAGE)} — if lineage was lost, "
+            "every batch looks uncommitted and sweeping would empty the "
+            "warehouse; restore lineage or remove partitions manually"
+        )
+    swept: list[str] = []
+    for d, bid in candidates:
+        os.rename(d, os.path.join(os.path.dirname(d), f"_torn-{bid}-{time.time_ns()}"))
+        _keys_desync(wh)
+        swept.append(bid)
     return swept
 
 
@@ -362,7 +385,14 @@ def compact_keys(wh: Warehouse) -> dict | None:
     shutil.rmtree(tmp, ignore_errors=True)
     marker = os.path.join(wh.root, "records_keys.bucketed")
     src = wh.read(RECORDS_KEYS)
-    rows_before = src.count()
+    # COST NOTE: the row-count verify below is two full scans of the keys
+    # table (before + after) — O(total keys) at archive time. Keys rows are
+    # 4 thin columns, so this is cheap relative to the rewrite itself, and
+    # a lost row here means silent re-ingestion of committed data — but for
+    # a huge keys table where the operator accepts write-job success as
+    # proof, LSS_SKIP_COMPACT_VERIFY=1 skips both counts.
+    skip_verify = bool(os.environ.get("LSS_SKIP_COMPACT_VERIFY"))
+    rows_before = None if skip_verify else src.count()
     files_before = len(glob.glob(os.path.join(keys_dir, "**", "*.parquet"), recursive=True))
     merged = src.select(
         "table", "record_id", "record_hash", "ts_millis",
@@ -389,8 +419,8 @@ def compact_keys(wh: Warehouse) -> dict | None:
         spark.sql(f"DROP TABLE {tmp_name}")  # external: files stay
     else:  # legacy plain layout: one file per day
         merged.repartition("day").write.partitionBy("batch", "day").parquet(tmp)
-    rows_after = spark.read.parquet(tmp).count()
-    if rows_after != rows_before:
+    rows_after = None if skip_verify else spark.read.parquet(tmp).count()
+    if not skip_verify and rows_after != rows_before:
         shutil.rmtree(tmp)
         raise RuntimeError(
             f"keys compaction row mismatch: {rows_before} -> {rows_after}; aborted"
@@ -514,14 +544,23 @@ def _sink_salts(wh: Warehouse, salt: int) -> dict[str, int] | None:
     uniform salt spends, reallocated by volume with a floor of 1 — so the
     hot sink's files stay near the target size instead of salt-times too
     big, and cold sinks write ONE file instead of `salt` shards.
-    Returns None (uniform salt) when no partials exist yet."""
+    Returns None (uniform salt) when no partials exist yet.
+
+    Reads only the NEWEST per-batch file (``part-b{max}.parquet`` — batch
+    ids are zero-padded so lexicographic max == newest), not the whole
+    table: partials grow one file per batch forever, and a full driver-side
+    read would creep O(batches x sinks x days) per batch. Falls back to the
+    full read only when no per-batch file exists (everything compacted into
+    the archive-merged file)."""
     import pyarrow.parquet as pq
 
     d = wh.path(METRICS_PARTIALS)
     if not wh.exists(METRICS_PARTIALS):
         return None
     try:
-        t = pq.read_table(d, columns=["batch", "sink", "n_rows"])
+        per_batch = sorted(glob.glob(os.path.join(d, "part-b[0-9]*.parquet")))
+        src = per_batch[-1] if per_batch else d
+        t = pq.read_table(src, columns=["batch", "sink", "n_rows"])
     except Exception:
         return None
     if t.num_rows == 0:
@@ -557,6 +596,36 @@ def _salt_expr(wh: Warehouse, salt: int, partition_cols: tuple[str, ...]):
 
 
 def run_batch(
+    spark: SparkSession,
+    wh: Warehouse,
+    batch_id: str,
+    files: list[str],
+    lang_lookup: DataFrame,
+    domain_lookup: DataFrame,
+    salt: int = 8,
+    partition_cols: tuple[str, ...] = ("sink",),
+    source_format: str = "pages",
+) -> BatchResult:
+    """Ingest one batch. Wrapper: the inner body tunes two session-global
+    split confs per batch (maxPartitionBytes/openCostInBytes); snapshot and
+    restore them here so unrelated queries on the same session never
+    inherit a batch's (possibly tiny) split sizing."""
+    _CONFS = ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    saved = {k: spark.conf.get(k, None) for k in _CONFS}
+    try:
+        return _run_batch_inner(
+            spark, wh, batch_id, files, lang_lookup, domain_lookup,
+            salt=salt, partition_cols=partition_cols, source_format=source_format,
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _run_batch_inner(
     spark: SparkSession,
     wh: Warehouse,
     batch_id: str,
@@ -616,7 +685,15 @@ def run_batch(
     parsed.persist(getattr(StorageLevel, os.environ.get("LSS_PERSIST_LEVEL", "MEMORY_AND_DISK")))
 
     ok = parsed.filter(F.col("status") == "ok")
-    errors = parsed.filter(F.col("status") != "ok")
+    # idempotent error sink: an exact-duplicate malformed page (same url,
+    # same bytes — datagen's i%13==6 class) parses to byte-identical error
+    # rows; re-ingesting it must not double the error sink any more than
+    # the hash dedup lets it double the ok sink. Full-row distinct is the
+    # deterministic rule: only identical rows collapse, so two DIFFERENT
+    # malformed versions of one url (same (url, seq), different text) both
+    # survive. Cheap at scale: errors are a thin slice and the all-column
+    # HashAggregate collapses duplicates map-side before the shuffle.
+    errors = parsed.filter(F.col("status") != "ok").dropDuplicates()
     kept, _ = split_duplicates(ok)
 
     # ONE aggregation materializes the persist and yields every driver-side

@@ -13,6 +13,8 @@ pytest-verified (it is an environment-dependent codec, not SQL).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -705,8 +707,13 @@ def q_dedup_clusters(spark, sf_dir):
     # diameter 1-2, so this is a wide safety margin, but do NOT trade it
     # for fewer checkpoint jobs; a chain longer than the bound would label
     # some nodes with a non-minimal keeper and break oracle parity)
+    # LSS_CHECKPOINT_DIR switches the iteration from localCheckpoint
+    # (executor-block-only — fast, not node-loss-safe) to reliable
+    # checkpoint() against a shared path; identical labels either way
+    # (test_round5 asserts it)
     comp = components_from_pairs(
-        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b",
+        checkpoint_dir=os.environ.get("LSS_CHECKPOINT_DIR") or None,
     )
     return comp.select(
         F.col("node").alias("doc_id"),

@@ -38,17 +38,30 @@ def warehouse(spark, dataset, tmp_path_factory):
     return Warehouse(whdir, spark), results
 
 
-def _expected_records():
-    """Driver-side reference computation: global first-wins dedup."""
+def _expected_records(rows_per_batch=500):
+    """Driver-side reference computation: global first-wins dedup for ok
+    rows; per-batch full-row distinct for error rows (the idempotent error
+    sink, round 5 — an exact-duplicate malformed page re-ingested in the
+    same batch writes ONE error row; across batches both copies land).
+    ``rows_per_batch`` mirrors the module fixture: num_files=6 over N=1500
+    pages -> 250 rows/file, batch_files=2 -> 500 consecutive rows/batch."""
     tbl = gen_pages(seed=SEED, n=N)
     seen = set()
     ok_kept, dups, errors = [], 0, 0
+    err_seen: set = set()
     rows = list(zip(tbl["url"].to_pylist(), tbl["warc_ts"].to_pylist(), tbl["html"].to_pylist()))
     # pipeline order: files sorted, rows in file order == generation order
-    for url, wts, html in rows:
+    for i, (url, wts, html) in enumerate(rows):
+        if i % rows_per_batch == 0:
+            err_seen = set()
         for r in parse_page(html):
             if r.status != OK:
-                errors += 1
+                # every parse-output column is a function of (url, wts,
+                # html, seq) — this tuple IS the full-row identity
+                k = (url, wts, html, r.seq)
+                if k not in err_seen:
+                    err_seen.add(k)
+                    errors += 1
                 continue
             key = (r.table, r.record_id or "", r.text.encode("utf-8"), r.ts_millis)
             if key in seen:

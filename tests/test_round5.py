@@ -1,0 +1,243 @@
+"""Round-5 regressions: VERDICT r4 "What's wrong" #1/#2/#4 (idempotent
+error sink, session-conf restoration, newest-partials-only salt read),
+Next #4 (reliable checkpoint for components), and the ADVICE r4 fixes
+(spread_small_input object-store fallback, recoverable torn sweep,
+LSH threshold contract)."""
+
+import glob
+import os
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from log_server_spark.catalog import Warehouse
+from log_server_spark.plans.pipeline import RECORDS, RECORDS_KEYS, run_pipeline
+
+
+_TS = datetime(2024, 3, 5, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _pages(rows) -> pa.Table:
+    """rows: (url, html_str)."""
+    return pa.table(
+        {
+            "url": pa.array([u for u, _ in rows], pa.string()),
+            "warc_ts": pa.array([_TS] * len(rows), pa.timestamp("us", tz="UTC")),
+            "html": pa.array([h.encode() for _, h in rows], pa.binary()),
+            "text": pa.array([h for _, h in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }
+    )
+
+
+def _write_pages(base: str, tbl: pa.Table) -> str:
+    pages = os.path.join(base, "pages")
+    os.makedirs(pages, exist_ok=True)
+    pq.write_table(tbl, os.path.join(pages, "part-00000.parquet"))
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #1: idempotent error sink — exact-duplicate malformed pages
+# write ONE error row; distinct malformed versions of a url both survive
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_malformed_pages_write_one_error_row(spark, tmp_path):
+    ok = "---- 2024-03-05 12:00:00 level:INFO table:users id:7 op:sync\nbody here"
+    bad = "---- 2024-03-05 12:00:00 level:WARN table:users header-only-no-newline"
+    bad_v2 = "---- 2024-03-05 12:01:00 level:WARN table:users another-version-no-newline"
+    tbl = _pages(
+        [
+            ("https://a.example.com/ok", ok),
+            ("https://a.example.com/bad", bad),
+            ("https://a.example.com/bad", bad),  # exact duplicate page
+            ("https://a.example.com/bad2", bad_v2),
+        ]
+    )
+    pages = _write_pages(str(tmp_path), tbl)
+    run_pipeline(spark, pages, str(tmp_path / "wh"), batch_files=1)
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    recs = wh.read(RECORDS)
+    errs = recs.filter(F.col("status") != "ok").select("url", "seq", "status").collect()
+    # the exact-duplicate malformed page collapsed to one row; the distinct
+    # malformed version kept its own row
+    assert sorted((r["url"], r["seq"]) for r in errs) == [
+        ("https://a.example.com/bad", 0),
+        ("https://a.example.com/bad2", 0),
+    ]
+    assert recs.filter(F.col("status") == "ok").count() == 1
+
+
+def test_distinct_malformed_versions_same_url_both_kept(spark, tmp_path):
+    bad1 = "---- 2024-03-05 12:00:00 level:WARN table:users version-one"
+    bad2 = "---- 2024-03-05 12:05:00 level:WARN table:users version-two"
+    tbl = _pages([("https://b.example.com/x", bad1), ("https://b.example.com/x", bad2)])
+    pages = _write_pages(str(tmp_path), tbl)
+    run_pipeline(spark, pages, str(tmp_path / "wh"), batch_files=1)
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    errs = wh.read(RECORDS).filter(F.col("status") != "ok")
+    # same (url, seq) but different bytes: full-row distinct keeps both
+    assert errs.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #2: run_batch must not leak its per-batch split-sizing confs
+# ---------------------------------------------------------------------------
+
+
+def test_run_pipeline_restores_session_split_confs(spark, tmp_path):
+    from log_server_spark.datagen import write_dataset
+
+    keys = ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")
+    before = {k: spark.conf.get(k, None) for k in keys}
+    data = str(tmp_path / "data")
+    write_dataset(data, seed=5, n=60, num_files=1)
+    run_pipeline(spark, os.path.join(data, "pages"), str(tmp_path / "wh"), batch_files=1)
+    after = {k: spark.conf.get(k, None) for k in keys}
+    assert after == before
+
+
+# ---------------------------------------------------------------------------
+# ADVICE #2: torn sweep is recoverable (rename, not rmtree) and refuses
+# to run when the lineage table is missing but batch partitions exist
+# ---------------------------------------------------------------------------
+
+
+def _tiny_warehouse(spark, tmp_path):
+    ok = "---- 2024-03-05 12:00:00 level:INFO table:users id:7 op:sync\nbody"
+    pages = _write_pages(str(tmp_path), _pages([("https://c.example.com/1", ok)]))
+    whdir = str(tmp_path / "wh")
+    run_pipeline(spark, pages, whdir, batch_files=1)
+    return Warehouse(whdir, spark)
+
+
+def test_sweep_renames_torn_batch_to_hidden_dir(spark, tmp_path):
+    import shutil
+
+    from log_server_spark.plans.pipeline import sweep_torn_batches
+
+    wh = _tiny_warehouse(spark, tmp_path)
+    committed = wh.read(RECORDS).count()
+    src = os.path.join(wh.path(RECORDS), "batch=b00000")
+    shutil.copytree(src, os.path.join(wh.path(RECORDS), "batch=b00099"))
+    with wh.lock():
+        assert sweep_torn_batches(wh) == ["b00099"]
+    # renamed to an underscore-prefixed sibling: invisible to scans,
+    # hand-recoverable after an operator mistake
+    torn = glob.glob(os.path.join(wh.path(RECORDS), "_torn-b00099-*"))
+    assert len(torn) == 1
+    assert not os.path.isdir(os.path.join(wh.path(RECORDS), "batch=b00099"))
+    assert wh.read(RECORDS).count() == committed
+
+
+def test_sweep_refuses_when_lineage_missing(spark, tmp_path):
+    import shutil
+
+    from log_server_spark.plans.pipeline import LINEAGE, sweep_torn_batches
+
+    wh = _tiny_warehouse(spark, tmp_path)
+    shutil.rmtree(wh.path(LINEAGE))
+    with wh.lock():
+        with pytest.raises(RuntimeError, match="refusing to sweep"):
+            sweep_torn_batches(wh)
+    # data untouched by the refused sweep
+    assert os.path.isdir(os.path.join(wh.path(RECORDS), "batch=b00000"))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT #4: _sink_salts reads ONLY the newest per-batch partials file
+# ---------------------------------------------------------------------------
+
+
+def test_sink_salts_reads_only_newest_partials_file(spark, tmp_path):
+    from log_server_spark.datagen import write_dataset
+    from log_server_spark.plans.pipeline import METRICS_PARTIALS, _sink_salts
+
+    data = str(tmp_path / "data")
+    write_dataset(data, seed=9, n=120, num_files=2)
+    whdir = str(tmp_path / "wh")
+    run_pipeline(spark, os.path.join(data, "pages"), whdir, batch_files=1)
+    wh = Warehouse(whdir, spark)
+    salts = _sink_salts(wh, 8)
+    assert salts and all(v >= 1 for v in salts.values())
+    # corrupt every OLDER per-batch file: a full-table driver read would
+    # now fail (-> None); the newest-file-only read must not notice
+    files = sorted(glob.glob(os.path.join(wh.path(METRICS_PARTIALS), "part-b*.parquet")))
+    assert len(files) >= 2
+    for f in files[:-1]:
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet")
+    assert _sink_salts(wh, 8) == salts
+
+
+# ---------------------------------------------------------------------------
+# VERDICT Next #4: reliable checkpoint mode produces identical labels
+# ---------------------------------------------------------------------------
+
+
+def test_components_reliable_checkpoint_same_labels(spark, tmp_path):
+    from log_server_spark.operators.dedup_text import components_from_pairs
+
+    ids = spark.range(0, 40).select(F.col("id"))
+    # chain 0-1-2-...-9 plus a clique {20,21,22}; rest singletons
+    chain = [(i, i + 1) for i in range(9)]
+    clique = [(20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(chain + clique, "id_a long, id_b long")
+    local = {
+        r["node"]: r["lbl"] for r in components_from_pairs(ids, pairs).collect()
+    }
+    reliable = {
+        r["node"]: r["lbl"]
+        for r in components_from_pairs(
+            ids, pairs, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert reliable == local
+    assert local[9] == 0 and local[22] == 20 and local[30] == 30
+    # the reliable mode actually wrote checkpoint data to the shared path
+    assert glob.glob(str(tmp_path / "ckpt" / "*"))
+
+
+# ---------------------------------------------------------------------------
+# ADVICE #1: spread_small_input must not shuffle when file sizes are
+# unavailable (object-store URIs) but the file count already covers cores
+# ---------------------------------------------------------------------------
+
+
+def test_spread_small_input_unsized_files_use_count_lower_bound(spark, tmp_path, monkeypatch):
+    import log_server_spark.plan_util as pu
+
+    target = spark.sparkContext.defaultParallelism
+    d = str(tmp_path / "many")
+    os.makedirs(d)
+    for i in range(target + 2):
+        pq.write_table(pa.table({"id": pa.array([i], pa.int64())}), os.path.join(d, f"f{i}.parquet"))
+    df = spark.read.parquet(d)
+
+    def _no_stat(_p):
+        raise OSError("stat unavailable (simulated object store)")
+
+    monkeypatch.setattr(pu.os.path, "getsize", _no_stat)
+    # count >= cores: affirmatively NOT small -> no repartition shuffle
+    assert pu.spread_small_input(df) is df
+    # a single unsized file could still be one giant split: stays spread
+    one = spark.read.parquet(os.path.join(d, "f0.parquet"))
+    assert pu.spread_small_input(one) is not one
+
+
+# ---------------------------------------------------------------------------
+# ADVICE #4: LSH threshold contract — zero/negative thresholds would
+# silently drop zero-overlap candidates, so they are rejected loudly
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_threshold_zero_raises(spark):
+    from log_server_spark.operators.dedup_text import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "aaa bbb ccc")], "id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        minhash_lsh_pairs(docs, "id", "text", threshold=0.0)
