@@ -331,6 +331,12 @@ def sweep_torn_batches(wh: Warehouse, done: set | None = None) -> list[str]:
       discovery (FileInputFormat hidden-file filter), so they are inert to
       every query but hand-recoverable after an operator mistake. They are
       tiny (torn batches are rare) and can be purged manually."""
+    # the missing-lineage rail below applies only when WE derived the
+    # committed set: a caller handing in `done` explicitly (run_pipeline)
+    # has already reasoned about lineage — e.g. a batch-id remap just
+    # _drop_batch'ed every committed batch, legitimately emptying the
+    # lineage table right before this sweep
+    derived_done = done is None
     if done is None:
         done = set(_committed_batches(wh))
     candidates: list[tuple[str, str]] = []
@@ -341,7 +347,7 @@ def sweep_torn_batches(wh: Warehouse, done: set | None = None) -> list[str]:
                 continue  # committed history by construction (see archive)
             if bid not in done:
                 candidates.append((d, bid))
-    if candidates and not done and not wh.exists(LINEAGE):
+    if derived_done and candidates and not done and not wh.exists(LINEAGE):
         raise RuntimeError(
             f"refusing to sweep {len(candidates)} batch partition(s) as torn: "
             f"no lineage table at {wh.path(LINEAGE)} — if lineage was lost, "

@@ -57,7 +57,17 @@ def streaming_records(
     ok = parsed.filter(F.col("status") == "ok").dropDuplicatesWithinWatermark(
         ["table", "record_id", "record_hash"]
     )
-    errors = parsed.filter(F.col("status") != "ok")
+    # idempotent error sink, streaming flavor (parity with run_batch's
+    # per-batch full-row distinct): byte-identical error rows from
+    # exact-duplicate malformed pages collapse within the watermark. The
+    # identity key is every column that varies per error row — (url,
+    # warc_ts, seq) locate the record, raw/status/text capture the bytes —
+    # so two DIFFERENT malformed versions of one url both survive, same as
+    # batch. State is bounded: errors are a thin slice and the watermark
+    # expires old keys.
+    errors = parsed.filter(F.col("status") != "ok").dropDuplicatesWithinWatermark(
+        ["url", "warc_ts", "seq", "status", "text"]
+    )
     return with_sink(enrich(ok.unionByName(errors), lang_lookup, domain_lookup))
 
 
