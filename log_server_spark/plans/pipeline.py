@@ -566,7 +566,7 @@ def _sink_salts(wh: Warehouse, salt: int) -> dict[str, int] | None:
     try:
         per_batch = sorted(glob.glob(os.path.join(d, "part-b[0-9]*.parquet")))
         src = per_batch[-1] if per_batch else d
-        t = pq.read_table(src, columns=["batch", "sink", "n_rows"])
+        t = pq.read_table(src, columns=["batch", "sink", "n_rows", "total_bytes"])
     except Exception:
         return None
     if t.num_rows == 0:
@@ -575,25 +575,55 @@ def _sink_salts(wh: Warehouse, salt: int) -> dict[str, int] | None:
 
     latest = max(t.column("batch").to_pylist())
     counts: dict[str, int] = collections.defaultdict(int)
-    for b, s, n in zip(
-        t.column("batch").to_pylist(), t.column("sink").to_pylist(), t.column("n_rows").to_pylist()
+    sink_bytes: dict[str, int] = collections.defaultdict(int)
+    for b, s, n, nb in zip(
+        t.column("batch").to_pylist(), t.column("sink").to_pylist(),
+        t.column("n_rows").to_pylist(), t.column("total_bytes").to_pylist(),
     ):
         if b == latest:
             counts[s] += int(n or 0)
+            sink_bytes[s] += int(nb or 0)
     total = sum(counts.values())
     if total <= 0:
         return None
     budget = salt * len(counts)
-    return {
-        s: max(1, min(budget, round(budget * n / total))) for s, n in counts.items()
-    }
+    out = {}
+    for s, n in counts.items():
+        v = max(1, min(budget, round(budget * n / total)))
+        # volume cap (round 5): a sink whose observed bytes fit k
+        # target-size files needs at most k shards — below that, salting
+        # only fragments files and multiplies downstream scan opens. At
+        # scale the cap exceeds the budget share and is a no-op.
+        cap = max(1, -(-sink_bytes[s] // _salt_target_bytes()))
+        out[s] = min(v, cap)
+    return out
 
 
-def _salt_expr(wh: Warehouse, salt: int, partition_cols: tuple[str, ...]):
+def _salt_target_bytes() -> int:
+    """Target output-file size the salt aims for (pre-compression record
+    bytes roughly track input page bytes at this schema); salting past the
+    point where each shard holds ~this much data buys no skew protection
+    and costs files + open/seek overhead on every downstream scan.
+    Env-tunable (bytes) so tests can exercise the allocation at toy scale."""
+    return int(os.environ.get("LSS_TARGET_FILE_BYTES", str(96 << 20)))
+
+
+def _salt_expr(
+    wh: Warehouse, salt: int, partition_cols: tuple[str, ...],
+    input_bytes: int | None = None,
+):
     """Salt modulus as a Column: per-sink adaptive when history exists and
-    the layout partitions by sink, else the uniform constant."""
+    the layout partitions by sink, else a uniform salt SIZED TO THE BATCH
+    VOLUME — `salt` is the ceiling (skew defense at scale), but a first
+    batch small enough that even its hottest sink (assume <= ~40% of the
+    bytes) fits one target-size file gets salt 1: fewer, bigger files, and
+    every downstream scan of the batch partition opens salt-times fewer
+    footers. At 100 TB the estimate saturates at the ceiling immediately."""
     salts = _sink_salts(wh, salt) if "sink" in partition_cols else None
     if not salts:
+        if input_bytes is not None:
+            need = -(-int(input_bytes * 0.4) // _salt_target_bytes())
+            return F.lit(max(1, min(salt, need)))
         return F.lit(salt)
     expr = F.lit(salt)  # unseen sinks fall back to the uniform salt
     for s, v in sorted(salts.items()):
@@ -676,12 +706,19 @@ def _run_batch_inner(
         os.environ.get("LSS_INGEST_ZSTD_LEVEL", "1"),
     )
 
-    _t0 = time.time()
-    _marks: list[tuple[str, float]] = []
+    def _cpu_now() -> float:
+        # system-wide cpu-seconds (user+sys): phase marks stay meaningful on
+        # a host whose wall-clock is storm-inflated — cpu measures the work
+        with open("/proc/stat") as f:
+            p = f.readline().split()[1:]
+        return (int(p[0]) + int(p[2])) / 100.0
+
+    _t0, _c0 = time.time(), _cpu_now()
+    _marks: list[tuple[str, float, float]] = []
 
     def _mark(phase: str) -> None:
         if os.environ.get("LSS_TIMING"):
-            _marks.append((phase, time.time()))
+            _marks.append((phase, time.time(), _cpu_now()))
 
     if source_format == "saved":
         parsed = _saved_records(spark, files).withColumn("day", F.to_date("warc_ts"))
@@ -744,7 +781,7 @@ def _run_batch_inner(
     # collapse to one file, total reducer groups stay ~|sinks| * salt.
     out = routed.repartition(
         *[F.col(c) for c in partition_cols],
-        F.pmod(F.hash("url"), _salt_expr(wh, salt, partition_cols)),
+        F.pmod(F.hash("url"), _salt_expr(wh, salt, partition_cols, total_bytes)),
     )
     out.write.mode("append").partitionBy("batch", *partition_cols).parquet(wh.path(RECORDS))
     _mark("write")
@@ -782,7 +819,18 @@ def _run_batch_inner(
     n_errors = int(got["n_routed"] or 0) - added
     # covers in-batch AND cross-batch dups — the reference counts both
     n_dups = int(n_ok) - added
-    written = spark.read.parquet(batch_dir)
+    # ONE scan of the batch partition feeds BOTH readbacks: project to the
+    # 9 thin columns they jointly need (never the wide text) and persist —
+    # without this, keys and partials each re-open every file in the
+    # partition. The cache is O(batch x 9 thin cols), spill-safe.
+    written = (
+        spark.read.parquet(batch_dir)
+        .select(
+            "table", "record_id", "record_hash", "ts_millis", "status",
+            "sink", "warc_ts", "n_bytes", "url",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def _write_keys():
         # keys-table day MUST derive from ts_millis (the record-header ts the
@@ -844,6 +892,7 @@ def _run_batch_inner(
         f_keys.result()
         partials = f_partials.result()
     parsed.unpersist()
+    written.unpersist()
     _mark("readbacks")
     wh.write_small(
         [
@@ -871,11 +920,11 @@ def _run_batch_inner(
     if os.environ.get("LSS_TIMING"):
         import sys
 
-        prev = _t0
+        prev, cprev = _t0, _c0
         spans = []
-        for phase, at in _marks:
-            spans.append(f"{phase}={at - prev:.2f}s")
-            prev = at
+        for phase, at, c in _marks:
+            spans.append(f"{phase}={at - prev:.2f}s/{c - cprev:.1f}cpu")
+            prev, cprev = at, c
         print(f"[timing] {batch_id}: " + " ".join(spans), file=sys.stderr)
     return BatchResult(batch_id, files, added, n_dups, n_errors)
 

@@ -326,12 +326,19 @@ def test_archive_sweeps_torn_batches_before_compacting(spark, tmp_path_factory):
 # ---------------------------------------------------------------------------
 
 
-def test_adaptive_salt_reallocates_files_by_sink_volume(spark, tmp_path_factory):
+def test_adaptive_salt_reallocates_files_by_sink_volume(spark, tmp_path_factory, monkeypatch):
     """Batch 2+ sizes its salt from batch 1's observed per-sink volumes:
     cold sinks collapse to one file, the hot sink gets more than the
-    uniform salt, total rows and dedup results unchanged."""
+    uniform salt, total rows and dedup results unchanged.
+
+    Round 5 added a volume cap (per-sink salt <= bytes/target-file-size);
+    shrink the target so the cap stays above the budget allocation and the
+    REALLOCATION logic is what this test exercises — test_round5 covers
+    the cap itself."""
     from log_server_spark.datagen import write_dataset
     from log_server_spark.plans.pipeline import _sink_salts
+
+    monkeypatch.setenv("LSS_TARGET_FILE_BYTES", "64")
 
     data = str(tmp_path_factory.mktemp("r4_salt_data"))
     write_dataset(data, seed=21, n=600, num_files=2)

@@ -241,3 +241,28 @@ def test_lsh_threshold_zero_raises(spark):
     docs = spark.createDataFrame([(1, "aaa bbb ccc")], "id long, text string")
     with pytest.raises(ValueError, match="threshold"):
         minhash_lsh_pairs(docs, "id", "text", threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: salt sized to batch volume (files-per-batch stays proportional to
+# data, full `salt` fan-out only when the bytes justify it)
+# ---------------------------------------------------------------------------
+
+
+def test_salt_volume_cap_collapses_small_batches(spark, tmp_path):
+    from log_server_spark.datagen import write_dataset
+    from log_server_spark.plans.pipeline import RECORDS as REC, _sink_salts
+
+    data = str(tmp_path / "data")
+    write_dataset(data, seed=3, n=400, num_files=2)
+    whdir = str(tmp_path / "wh")
+    # default 96 MB target; a ~100 KB batch needs salt 1 everywhere
+    run_pipeline(spark, os.path.join(data, "pages"), whdir, batch_files=1, salt=8)
+    wh = Warehouse(whdir, spark)
+    for batch in ("b00000", "b00001"):
+        for sink_dir in glob.glob(os.path.join(wh.path(REC), f"batch={batch}", "sink=*")):
+            n_files = len(glob.glob(os.path.join(sink_dir, "*.parquet")))
+            assert n_files == 1, (batch, sink_dir, n_files)
+    # adaptive path: observed per-sink bytes cap every allocation at 1
+    salts = _sink_salts(wh, 8)
+    assert salts and max(salts.values()) == 1
