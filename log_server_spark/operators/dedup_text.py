@@ -449,3 +449,55 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    segs_col: str = "segs",
+    join_sep: str = " ",
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level dedup — the line/paragraph dedup of the
+    C4 / RefinedWeb recipes: every segment (line, paragraph, fixed token
+    window — whatever split produced ``segs_col: array<string>``) that
+    appears anywhere else in the corpus keeps exactly its FIRST occurrence
+    (smallest (doc id, position)), and each document is reassembled from
+    its surviving segments in original order.
+
+    Output: (id_col, text_dedup string, n_segs_kept long). Documents whose
+    every segment lost disappear from the output (nothing left to keep).
+
+    Scale shape: posexplode (no shuffle) -> groupBy(segment) with a
+    ``min(struct(id, pos))`` partial aggregate — boilerplate-hot segments
+    ("Home | About | Contact" at web scale) collapse MAP-SIDE to one
+    candidate winner per task before the shuffle — -> equi-join the
+    winners back (each row meets exactly one winner row; AQE skew-join
+    splits the hot segment's probe side) -> one groupBy(id) to
+    reassemble. Three keyed shuffles total, no window sort: the
+    row_number() formulation would sort every hot segment's full
+    occurrence list on one reducer.
+    """
+    p = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(segs_col)).alias("pos", "seg"),
+    )
+    winners = p.groupBy("seg").agg(F.min(F.struct("id", "pos")).alias("w"))
+    keep = (
+        p.join(winners, "seg")
+        .where((F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")))
+        .select("id", "pos", "seg")
+    )
+    return (
+        keep.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                join_sep,
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_segs_kept"),
+        )
+        .select(F.col("id").alias(id_col), "text_dedup", "n_segs_kept")
+    )

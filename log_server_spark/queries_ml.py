@@ -746,6 +746,84 @@ FROM walk GROUP BY doc_id
 SQL_DEDUP_CLUSTERS = _dedup_clusters_sql()
 
 
+
+
+def q_dedup_segments(spark, sf_dir):
+    """Segment-level (line/paragraph) corpus dedup, C4/RefinedWeb-style:
+    split every document into non-overlapping 16-token windows (this
+    corpus has no newlines; on real web text the split is ``\\n`` lines),
+    keep each distinct segment's FIRST occurrence corpus-wide, reassemble
+    the survivors per document. Exercises operators/dedup_text.py:
+    dedup_segments — posexplode -> min(struct) winner agg -> equi-join ->
+    reassembly groupBy; no window sort anywhere (see operator docstring
+    for the 100 TB shape)."""
+    from log_server_spark.operators.dedup_text import dedup_segments
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(16)
+    )
+    segs = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, 16)))
+    return dedup_segments(
+        docs.select("doc_id", segs.alias("segs")), "doc_id", "segs", join_sep=" "
+    )
+
+
+SQL_DEDUP_SEGMENTS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), seg AS (
+  SELECT doc_id, p.pos,
+         array_to_string(toks[p.pos * 16 + 1 : p.pos * 16 + 16], ' ') AS seg
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(toks) / 16.0) AS BIGINT) - 1)) AS pos
+  ) p
+), win AS (
+  SELECT doc_id, pos, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM seg
+)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
+       count(*) AS n_segs_kept
+FROM win WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sampling quota (a pretraining mix):
+    hash-bucket membership via md5 threshold — a pure scan-pushable
+    predicate, reproducible across runs, partitionings, and engines (the
+    oracle replays the identical predicate in DuckDB). operators/sample.py."""
+    from log_server_spark.operators.sample import hash_stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "ru": 0.25, "de": 0.25, "es": 0.1},
+        key_col="doc_id",
+        salt="mix1",
+        default=0.05,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+SQL_SAMPLE_STRATIFIED = r"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8) <
+      CASE lang
+        WHEN 'en' THEN '80000000'
+        WHEN 'ru' THEN '40000000'
+        WHEN 'de' THEN '40000000'
+        WHEN 'es' THEN '19999999'
+        ELSE '0ccccccc'
+      END
+"""
+
+
 REGISTRY_ML: dict[str, tuple] = {
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -766,4 +844,6 @@ REGISTRY_ML: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "token_chunks": (q_token_chunks, SQL_TOKEN_CHUNKS),
+    "dedup_segments": (q_dedup_segments, SQL_DEDUP_SEGMENTS),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
 }

@@ -266,3 +266,73 @@ def test_salt_volume_cap_collapses_small_batches(spark, tmp_path):
     # adaptive path: observed per-sink bytes cap every allocation at 1
     salts = _sink_salts(wh, 8)
     assert salts and max(salts.values()) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round 5: segment-level dedup + deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_segments_keeps_first_occurrence_and_reassembles(spark):
+    from log_server_spark.operators.dedup_text import dedup_segments
+
+    rows = [
+        (1, ["alpha beta", "gamma delta", "alpha beta"]),  # self-dup inside doc
+        (2, ["gamma delta", "unique two"]),                # first seg lost to doc 1
+        (3, ["alpha beta"]),                               # everything lost
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, segs array<string>")
+    got = {r["doc_id"]: (r["text_dedup"], r["n_segs_kept"])
+           for r in dedup_segments(df, "doc_id", "segs", join_sep="\n").collect()}
+    assert got[1] == ("alpha beta\ngamma delta", 2)  # pos-0 copy wins, in-doc dup dropped
+    assert got[2] == ("unique two", 1)
+    assert 3 not in got  # fully deduplicated docs vanish
+
+
+def test_hash_sample_deterministic_and_salted(spark):
+    from log_server_spark.operators.sample import hash_sample, hash_stratified_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3, salt="s1").collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3, salt="s1").collect()}
+    c = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3, salt="s2").collect()}
+    assert a == b                       # reproducible
+    assert a != c                       # salt rotates the draw
+    assert 0.25 < len(a) / 2000 < 0.35  # ~fraction
+    assert hash_sample(df, "doc_id", 1.0).count() == 2000
+    assert hash_sample(df, "doc_id", 0.0).count() == 0
+    # nested fraction property: the 10% sample is a SUBSET of the 30% one
+    # (same draw, lower threshold) — lets a mix dial quotas without churn
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.1, salt="s1").collect()}
+    assert small <= a
+
+    from pyspark.sql import functions as F
+
+    strat = df.withColumn("g", (F.col("doc_id") % 2 == 0).cast("string"))
+    out = hash_stratified_sample(strat, "g", {"true": 1.0}, "doc_id", default=0.0)
+    assert out.count() == 1000 and out.filter("g = 'false'").count() == 0
+
+
+def test_new_queries_match_duckdb_oracle(spark):
+    """Value-level parity harness for the two round-5 queries (the driver
+    runs the same comparison at sf0.01)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    for name in ("dedup_segments", "sample_stratified"):
+        sdf = qs[name](spark, "/root/testdata/sf0.001").toPandas()
+        ddf = con.sql(oracles[name]).df()
+        assert len(sdf) == len(ddf), (name, len(sdf), len(ddf))
+        cols = sorted(sdf.columns)
+        assert cols == sorted(ddf.columns), name
+        s = sdf[cols].sort_values(cols).reset_index(drop=True)
+        d = ddf[cols].sort_values(cols).reset_index(drop=True)
+        for col in cols:
+            assert s[col].astype(str).tolist() == d[col].astype(str).tolist(), (name, col)
