@@ -181,3 +181,50 @@ def token_chunks(col, size: int = 64, overlap: int = 16) -> Column:
     return F.when(F.length(c) == 0, F.array().cast(
         "array<struct<chunk_id:int,chunk_text:string>>"
     )).otherwise(win)
+
+
+def repetition_features(col, ngram_n: int = 3) -> dict[str, Column]:
+    """Gopher-style intra-document repetition signals (the "repetitious
+    document" filters of the Gopher / FineWeb quality recipes):
+
+    - ``n_words``        whitespace token count (0 for empty text)
+    - ``dup_word_frac``  1 - distinct words / words
+    - ``dup_ngram_frac`` 1 - distinct word n-grams / n-grams (NULL when the
+      doc has fewer than ``ngram_n`` words)
+    - ``top_word_frac``  occurrences of the single most frequent word /
+      words — computed by a LINEAR run-length scan over the sorted word
+      array (``array_sort`` + ``aggregate``), not the quadratic
+      count-each-word-against-all transform: a 100k-word page costs
+      O(n log n) per doc, fully codegen, no explode/shuffle.
+
+    Ratios round to 4 places (cross-engine float parity convention).
+    """
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    w = F.split(F.lower(c), r"\s+")
+    n = F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(w))
+    grams = word_ngrams(F.lower(c), ngram_n)
+    n_g = F.size(grams)
+    run = F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    nz = F.nullif(n.cast("double"), F.lit(0.0))
+    return {
+        "n_words": n.cast("long"),
+        "dup_word_frac": F.round(1.0 - F.size(F.array_distinct(w)) / nz, 4),
+        "dup_ngram_frac": F.when(
+            n_g > 0, F.round(1.0 - F.size(F.array_distinct(grams)) / n_g.cast("double"), 4)
+        ),
+        "top_word_frac": F.when(n > 0, F.round(run / nz, 4)),
+    }

@@ -824,6 +824,88 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8) <
 """
 
 
+
+
+def q_repetition_score(spark, sf_dir):
+    """Gopher/FineWeb repetition filters: duplicate-word fraction,
+    duplicate-3-gram fraction, top-word concentration — the signals that
+    catch boilerplate/spam pages a length-based quality gate misses. Pure
+    codegen per row (the top-word mode is a linear run-length scan over
+    the sorted word array, NOT a quadratic transform — see
+    functions/text.py:repetition_features for the 100k-word-doc bound)."""
+    from log_server_spark.functions.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = repetition_features("text", ngram_n=3)
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+SQL_REPETITION_SCORE = r"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), w AS (
+  SELECT doc_id, t,
+         CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(t, '\s+') END AS ws
+  FROM base
+), c AS (
+  SELECT doc_id, t, len(ws) AS nw, len(list_distinct(ws)) AS nd,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(generate_series(1, len(ws) - 2),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         END AS grams
+  FROM w
+), top AS (
+  SELECT doc_id, max(cnt) AS mx FROM (
+    SELECT doc_id, u, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(ws) AS u FROM w WHERE len(ws) > 0)
+    GROUP BY doc_id, u
+  ) GROUP BY doc_id
+)
+SELECT c.doc_id,
+  c.nw AS n_words,
+  round(1.0 - c.nd / nullif(c.nw, 0)::DOUBLE, 4) AS dup_word_frac,
+  CASE WHEN c.grams IS NOT NULL AND len(c.grams) > 0
+       THEN round(1.0 - len(list_distinct(c.grams)) / len(c.grams)::DOUBLE, 4)
+  END AS dup_ngram_frac,
+  CASE WHEN c.nw > 0 THEN round(top.mx / c.nw::DOUBLE, 4) END AS top_word_frac
+FROM c LEFT JOIN top USING (doc_id)
+"""
+
+
+def q_vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary profile: top 200 tokens by DOCUMENT frequency
+    (each doc votes once per distinct token — ``array_distinct`` runs
+    per-row BEFORE the explode, so a 100k-repeat boilerplate token costs
+    one row, not 100k). One keyed shuffle with map-side combine, then a
+    TakeOrdered top-k — never a full sort of the vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("tok")
+    ).where(F.length("tok") > 0)
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(200)
+    )
+
+
+SQL_VOCAB_TOP_TOKENS = r"""
+SELECT u AS tok, count(*) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS u
+  FROM documents WHERE length(trim(text)) > 0
+)
+WHERE length(u) > 0
+GROUP BY u
+ORDER BY doc_freq DESC, tok ASC
+LIMIT 200
+"""
+
+
 REGISTRY_ML: dict[str, tuple] = {
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -846,4 +928,6 @@ REGISTRY_ML: dict[str, tuple] = {
     "token_chunks": (q_token_chunks, SQL_TOKEN_CHUNKS),
     "dedup_segments": (q_dedup_segments, SQL_DEDUP_SEGMENTS),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
+    "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
 }

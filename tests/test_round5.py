@@ -326,7 +326,7 @@ def test_new_queries_match_duckdb_oracle(spark):
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
     )
-    for name in ("dedup_segments", "sample_stratified"):
+    for name in ("dedup_segments", "sample_stratified", "repetition_score", "vocab_top_tokens"):
         sdf = qs[name](spark, "/root/testdata/sf0.001").toPandas()
         ddf = con.sql(oracles[name]).df()
         assert len(sdf) == len(ddf), (name, len(sdf), len(ddf))
@@ -336,3 +336,29 @@ def test_new_queries_match_duckdb_oracle(spark):
         d = ddf[cols].sort_values(cols).reset_index(drop=True)
         for col in cols:
             assert s[col].astype(str).tolist() == d[col].astype(str).tolist(), (name, col)
+
+
+def test_repetition_features_on_crafted_docs(spark):
+    from log_server_spark.functions.text import repetition_features
+
+    rows = [
+        (1, "a a a a"),          # one word repeated: dup_word 0.75, top 1.0
+        (2, "a b c d"),          # all distinct: dup_word 0, top 0.25
+        (3, "x y x y x y"),      # alternating: ngrams 'x y x','y x y' repeat
+        (4, ""),                 # empty: n_words 0, ratios NULL
+        (5, "p q"),              # < 3 words: dup_ngram_frac NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = repetition_features("text", ngram_n=3)
+    got = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in feats.items()]).collect()
+    }
+    assert got[1]["n_words"] == 4 and got[1]["dup_word_frac"] == 0.75
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[2]["dup_word_frac"] == 0.0 and got[2]["top_word_frac"] == 0.25
+    # doc 3: 4 ngrams, 2 distinct -> 0.5; top word 'x' (or 'y') 3/6 = 0.5
+    assert got[3]["dup_ngram_frac"] == 0.5 and got[3]["top_word_frac"] == 0.5
+    assert got[4]["n_words"] == 0 and got[4]["dup_word_frac"] is None
+    assert got[4]["top_word_frac"] is None
+    assert got[5]["dup_ngram_frac"] is None
