@@ -515,3 +515,56 @@ def dedup_segments(
         )
         .select(F.col("id").alias(id_col), "text_dedup", "n_segs_kept")
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    ngram_n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3/PaLM recipe): flag every
+    training document that shares >= ``min_hits`` distinct word n-grams
+    with an evaluation set, so eval material can be dropped from the
+    training mix. Returns the doc frame's (id, n_hits, contaminated).
+
+    Scale shape: the eval side is tiny relative to a 10^12-doc corpus —
+    its distinct n-gram set is BROADCAST, so the corpus-side explode
+    flows map-only into a broadcast-hash semi-probe and the only shuffle
+    is the per-doc hit-count aggregation (O(matching grams), output-
+    sensitive). ``array_distinct`` runs per row before the explode; a
+    doc repeating one contaminated 13-gram a thousand times costs one
+    probe row. The standard n is 13 (512-token eval windows); lower it
+    for short-form eval sets.
+    """
+    from pyspark.sql.functions import broadcast
+
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.lower(F.col(text_col)), ngram_n))
+        ).alias("g"),
+    )
+    b = (
+        bench.select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.lower(F.col(bench_text_col)), ngram_n))
+            ).alias("g")
+        )
+        .distinct()
+    )
+    hits = d.join(broadcast(b), "g").groupBy("id").agg(
+        F.count_distinct("g").alias("n_hits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

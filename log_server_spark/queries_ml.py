@@ -906,6 +906,44 @@ LIMIT 200
 """
 
 
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM recipe): flag every training
+    doc sharing a distinct word 5-gram with the eval set (here: the
+    deterministic doc_id %% 29 == 0 slice standing in for a benchmark
+    suite; production uses n=13 over 512-token eval windows). The eval
+    side is broadcast — the corpus never shuffles for the probe; the only
+    shuffle is the output-sensitive per-doc hit count.
+    operators/dedup_text.py:contamination_flags."""
+    from log_server_spark.operators.dedup_text import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return contamination_flags(docs, bench, "doc_id", "text", ngram_n=5)
+
+
+SQL_DECONTAMINATE = r"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(w) - 4),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+         )) AS g
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents)
+  WHERE len(w) >= 5
+), b AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0
+), hits AS (
+  SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+  FROM g JOIN b USING (g) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 REGISTRY_ML: dict[str, tuple] = {
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -930,4 +968,5 @@ REGISTRY_ML: dict[str, tuple] = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }

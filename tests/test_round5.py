@@ -326,7 +326,7 @@ def test_new_queries_match_duckdb_oracle(spark):
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
     )
-    for name in ("dedup_segments", "sample_stratified", "repetition_score", "vocab_top_tokens"):
+    for name in ("dedup_segments", "sample_stratified", "repetition_score", "vocab_top_tokens", "decontaminate"):
         sdf = qs[name](spark, "/root/testdata/sf0.001").toPandas()
         ddf = con.sql(oracles[name]).df()
         assert len(sdf) == len(ddf), (name, len(sdf), len(ddf))
@@ -362,3 +362,27 @@ def test_repetition_features_on_crafted_docs(spark):
     assert got[4]["n_words"] == 0 and got[4]["dup_word_frac"] is None
     assert got[4]["top_word_frac"] is None
     assert got[5]["dup_ngram_frac"] is None
+
+
+def test_contamination_flags_semantics_and_broadcast_plan(spark):
+    from log_server_spark.operators.dedup_text import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence with no overlap at all here"),
+            (3, "we note the quick brown fox jumps too"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "THE QUICK BROWN FOX JUMPS")], "doc_id long, text string"
+    )
+    out = contamination_flags(docs, bench, "doc_id", "text", ngram_n=5)
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"]) for r in out.collect()}
+    assert got[1] == (1, True)   # shares 'the quick brown fox jumps' (case-folded)
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+    # the 100 TB shape: the eval side must be broadcast, never shuffled
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
