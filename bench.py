@@ -65,6 +65,15 @@ def _bench_overrides() -> dict:
     md5+substr+radix, ~2x cheaper per shingle). The headline number is the
     production operator; the md5 twin is published alongside as
     ``dedup_minhash_lsh_md5`` so the oracle path's cost stays visible.
+
+    Measured caveat (round 5, sf0.1, nh=16/bands=8): the xxhash64 base
+    yields ~36% MORE band-collision candidates than md5 (1274 vs 940
+    pre-threshold pairs; both verify down to the identical 256), so its
+    cheaper per-shingle hash is partly repaid in verify work — the two
+    variants land within a few cpu-seconds of each other. Kept as the
+    production base anyway: candidate count is corpus-dependent, the
+    signature pass dominates as docs grow, and determinism/portability of
+    the xxhash64 path is unchanged.
     """
     from log_server_spark.operators.dedup_text import minhash_lsh_pairs
 
