@@ -81,15 +81,19 @@ def ngram_jaccard_pairs(
     shingles per doc make a 64-bit collision affecting a shared-count
     ~2^-64 per shingle pair — immaterial next to the float rounding the
     jaccard already carries). Skew-prone shingles are rare after
-    array_distinct; AQE skew-join covers the rest. Per-doc sizes come
-    straight off the shingle array (no persist: the explode is recomputed
-    for the join's second side — one extra map pass instead of executor
-    cache that would accumulate across calls).
+    array_distinct; AQE skew-join covers the rest. The hashed shingle
+    frame is persisted spill-safe because it has THREE consumers (both
+    join sides + the per-doc sizes) — without it Catalyst re-runs the
+    interpreted ngram explode per reference, the same measured trade the
+    LSH operator makes (round 5; previously recomputed by design, revised
+    on the same evidence that won in minhash_lsh_pairs).
     """
-    sh = _shingle_frame(df, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle").alias("sh64")
+    sh = (
+        _shingle_frame(df, id_col, text_col, n)
+        .select("id", F.xxhash64("shingle").alias("sh64"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = _shingle_sizes(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "sh64")
     b = sh.select(F.col("id").alias("id_b"), "sh64")
     shared = (
