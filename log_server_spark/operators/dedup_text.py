@@ -436,7 +436,11 @@ def simhash_neardup_pairs(
     """
     n_blocks = max_hamming + 1
     width = -(-63 // n_blocks)
-    sig = simhash64(df, id_col, text_col, base=base)
+    # persisted: the signature subplan (a full per-bit vote aggregation
+    # over the corpus) feeds BOTH sides of the block self-join below —
+    # same three-consumer trade as ngram_jaccard_pairs/minhash_lsh_pairs,
+    # O(docs x 1 long) cache, spill-safe
+    sig = simhash64(df, id_col, text_col, base=base).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = sig.select(
         "id",
         "simhash",
