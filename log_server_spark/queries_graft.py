@@ -145,11 +145,27 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cid", "text", "source", "lang")
     )
     pages = synth_legacy_pages(anchored, url_id="doc_id", content_id="cid")
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the b1/b2 batch split references this subplan twice, and
+    # the parse stage (the Arrow UDF) is the whole query's dominant cost —
+    # without the persist Spark parses the corpus once per branch (measured
+    # sf0.1 local[32]: 15.8 vs 30.7 cpu-s best-of-3; wall is storm noise).
+    # The caller runs the action after we return, so the frame can't be
+    # unpersisted here — instead each call releases the PREVIOUS call's
+    # frame, bounding a shared session (bench reps) to one live copy.
+    prev = getattr(q_dedup_pipeline, "_cached", None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
     parsed = (
         parse_pages(pages)
         .filter(F.col("status") == "ok")
         .withColumn("doc_id", F.regexp_extract("url", r"doc://(\d+)", 1).cast("long"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    q_dedup_pipeline._cached = parsed
     b1 = parsed.filter(F.col("doc_id") % 3 != 2)
     b2 = parsed.filter(F.col("doc_id") % 3 == 2)
     kept1, _ = split_duplicates(b1, order_cols=["url", "seq"])
