@@ -1,0 +1,139 @@
+"""Temporal joins the reference engine lacks (SURVEY §2.3 note: "no
+sort-merge/theta/range/as-of/interval joins exist in the reference") but a
+log/telemetry engine at 10^12-row scale needs constantly: attach the most
+recent dimension/state change to each event (as-of), and match events to
+time intervals (range/interval join).
+
+Both are implemented WITHOUT non-equi joins. Spark plans a naive
+``l.ts BETWEEN r.lo AND r.hi`` predicate as BroadcastNestedLoopJoin (or a
+cartesian product when neither side broadcasts) — O(|L| * |R|) and
+job-fatal at scale. Instead:
+
+- :func:`asof_join` is the union-marker window trick: tag both sides,
+  union, ONE shuffle on the join key, and a running ``last(_, ignorenulls)``
+  carries each right row forward to the left rows that follow it in time.
+  Cost is a single sort-shuffle over |L| + |R| rows — the same shape as the
+  sessionize window and strictly cheaper than any join-based formulation.
+- :func:`range_join` chunks time into fixed-width buckets: each interval
+  explodes to the buckets it covers, each point maps to exactly one bucket,
+  and a plain equi-join on (keys…, bucket) + a residual range filter yields
+  the pairs. With bucket width >= max interval length every interval covers
+  at most 2 buckets, so the explode is O(2|R|) and the join is hash/SMJ on
+  a co-partitionable key — AQE-skew-splittable, broadcastable when the
+  interval side is small, never a nested loop. A point joins an interval
+  through exactly one bucket (its own), so no post-join dedup is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_L, _R = "__asof_is_left", "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tiebreak: str | None = None,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row gains the ``payload`` columns
+    of the LATEST ``right`` row with the same ``on`` keys and
+    ``right_ts <= left_ts`` (exact-timestamp matches included, like
+    ``pandas.merge_asof(allow_exact_matches=True)``). Left rows with no
+    prior right row keep NULL payload (left-outer semantics).
+
+    ``payload`` columns must exist on ``right`` and not on ``left``.
+    ``tiebreak`` (a right-side column, e.g. an event id) makes the winner
+    deterministic when several right rows share one timestamp: the row with
+    the greatest tiebreak value wins. ``tolerance_us`` drops matches older
+    than that many microseconds.
+
+    Scale shape: one shuffle, partitioned by ``on`` — no join operator at
+    all. Timestamps compare at full microsecond precision.
+    """
+    lt = left.withColumn(_R, F.unix_micros(F.col(left_ts).cast("timestamp"))).withColumn(
+        _L, F.lit(1)
+    )
+    rt = right.select(
+        *on,
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias(_R),
+        *payload,
+        *( [F.col(tiebreak).alias("__asof_tie")] if tiebreak else [] ),
+    ).withColumn(_L, F.lit(0))
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows order BEFORE left rows at equal ts (exact matches visible);
+    # among right ties the greatest tiebreak sorts last, so last() picks it
+    order = [F.col(_R).asc(), F.col(_L).asc()]
+    if tiebreak:
+        order.append(F.col("__asof_tie").asc_nulls_first())
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # ONE struct carries (matched right ts, payload…) atomically: separate
+    # last() calls per column could pair a newer row's ts with an older
+    # row's value whenever a right payload column is NULL
+    match = F.last(
+        F.when(
+            F.col(_L) == 0,
+            F.struct(F.col(_R).alias("__rts"), *[F.col(c).alias(c) for c in payload]),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    out = both.select("*", match.alias("__asof_m")).filter(F.col(_L) == 1)
+    m = F.col("__asof_m")
+    if tolerance_us is not None:
+        m = F.when(
+            F.col(_R) - F.col("__asof_m.__rts") > F.lit(tolerance_us), F.lit(None)
+        ).otherwise(m)
+    return out.select(
+        *left.columns, *[m.getField(c).alias(c) for c in payload]
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_us: str,
+    start_us: str,
+    end_us: str,
+    bucket_us: int,
+    bounds: str = "(]",
+) -> DataFrame:
+    """Inner join of ``points`` to every ``intervals`` row with matching
+    ``on`` keys whose [start_us, end_us] range contains the point (bound
+    inclusivity per ``bounds``: one of ``"[]" "[)" "(]" "()"``). All three
+    time columns are epoch-microsecond bigints supplied by the caller.
+
+    ``bucket_us`` should be >= the longest interval so each interval
+    explodes to <= 2 buckets; correctness does not depend on it (an interval
+    spanning k buckets explodes to k rows), only the explode factor does.
+    """
+    if bounds not in ("[]", "[)", "(]", "()"):
+        raise ValueError(f"bounds must be one of [] [) (] (), got {bounds!r}")
+    # integer DIV on both sides: float division could bucket a boundary
+    # timestamp differently on the point and interval sides
+    b = int(bucket_us)
+    iv = intervals.withColumn(
+        "__rj_b",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({start_us} AS BIGINT) DIV {b}"),
+                F.expr(f"CAST({end_us} AS BIGINT) DIV {b}"),
+            )
+        ),
+    )
+    pt = points.withColumn("__rj_b", F.expr(f"CAST({point_us} AS BIGINT) DIV {b}"))
+    lo = F.col(point_us) >= F.col(start_us) if bounds[0] == "[" else F.col(
+        point_us
+    ) > F.col(start_us)
+    hi = F.col(point_us) <= F.col(end_us) if bounds[1] == "]" else F.col(
+        point_us
+    ) < F.col(end_us)
+    return pt.join(iv, on + ["__rj_b"]).filter(lo & hi).drop("__rj_b")

@@ -376,9 +376,123 @@ FROM documents QUALIFY rnk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Temporal joins (engine adds — absent in the reference, see SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event gains the latest prior-or-equal
+    view event (id + value) of the same user — funnel attribution. One
+    window shuffle, no non-equi join (operators/temporal.py)."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("ref_id"),
+        F.col("value").alias("ref_value"),
+    )
+    res = asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["ref_id", "ref_value"], tiebreak="ref_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.round("value", 4).alias("value"),
+        F.coalesce("ref_id", F.lit(-1)).alias("ref_id"),
+        F.round(F.coalesce("ref_value", F.lit(0.0)), 4).alias("ref_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, event_id AS ref_id, value AS ref_value
+  FROM events WHERE event_type = 'view'
+),
+j AS (
+  SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms, round(c.value, 4) AS value,
+         v.ref_id, v.ref_value,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY v.ts DESC, v.ref_id DESC) AS rn
+  FROM clicks c LEFT JOIN views v
+    ON v.user_id = c.user_id AND v.ts <= c.ts
+)
+SELECT event_id, user_id, ts_ms, value,
+       coalesce(ref_id, -1) AS ref_id,
+       round(coalesce(ref_value, 0.0), 4) AS ref_value
+FROM j WHERE rn = 1
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for each error event, count + sum the same user's
+    events in the following 24 h (error-burst attribution). Bucket-chunked
+    equi-join — never a nested loop (operators/temporal.py)."""
+    from .operators.temporal import range_join
+
+    day_us = 86_400_000_000
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    wins = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("__us").alias("start_us"),
+        (F.col("__us") + F.lit(day_us)).alias("end_us"),
+    )
+    pts = ev.select("user_id", F.col("__us").alias("p_us"), "value")
+    pairs = range_join(
+        pts, wins, on=["user_id"], point_us="p_us",
+        start_us="start_us", end_us="end_us", bucket_us=day_us, bounds="(]",
+    )
+    hits = pairs.groupBy("win_id").agg(
+        F.count("*").alias("n_hits"), F.sum("value").alias("sv")
+    )
+    return (
+        wins.join(hits, "win_id", "left")
+        .select(
+            "win_id",
+            "user_id",
+            (F.col("start_us") / 1000).cast("long").alias("start_ms"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH e AS (
+  SELECT event_id AS win_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+hits AS (
+  SELECT e.win_id, count(*) AS n_hits, sum(p.value) AS sv
+  FROM e JOIN events p
+    ON p.user_id = e.user_id
+   AND epoch_us(p.ts) > epoch_us(e.ts)
+   AND epoch_us(p.ts) <= epoch_us(e.ts) + 86400000000
+  GROUP BY e.win_id
+)
+SELECT e.win_id, e.user_id, epoch_us(e.ts) // 1000 AS start_ms,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.sv, 0.0), 4) AS sum_value
+FROM e LEFT JOIN hits h USING (win_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "flagship_route_aggregate": (q_flagship_route_aggregate, SQL_FLAGSHIP),
     "route_counts": (q_route_counts, SQL_ROUTE_COUNTS),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),

@@ -1,0 +1,157 @@
+"""Unit tests for operators/temporal.py (as-of join, range join) — the
+temporal joins the reference lacks (SURVEY §2.3), built join-free /
+nested-loop-free for the 10^12-row design point."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_server_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:00"), 100.0),
+            (2, "A", _ts("2024-01-01 10:05:00"), 101.0),
+            (3, "B", _ts("2024-01-01 10:01:00"), 50.0),
+            (4, "B", _ts("2024-01-01 09:00:00"), 49.0),  # before any quote
+            (5, "C", _ts("2024-01-01 12:00:00"), 7.0),  # key with no quotes
+        ],
+        "trade_id long, sym string, ts timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (10, "A", _ts("2024-01-01 09:59:00"), 99.5),
+            (11, "A", _ts("2024-01-01 10:05:00"), 100.5),  # exact-ts match
+            (12, "B", _ts("2024-01-01 10:00:00"), 49.9),
+            (13, "B", _ts("2024-01-01 10:00:00"), 49.8),  # tie on ts
+        ],
+        "quote_id long, sym string, ts timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_basic(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+        payload=["quote_id", "bid"], tiebreak="quote_id",
+    )
+    rows = {r["trade_id"]: r for r in out.collect()}
+    assert len(rows) == 5  # left-outer: every trade survives
+    assert rows[1]["quote_id"] == 10 and rows[1]["bid"] == 99.5
+    # exact-timestamp right row matches (allow_exact_matches semantics)
+    assert rows[2]["quote_id"] == 11
+    # tie on right ts -> greatest tiebreak wins
+    assert rows[3]["quote_id"] == 13
+    # no prior quote / no quotes at all -> NULL payload
+    assert rows[4]["quote_id"] is None and rows[4]["bid"] is None
+    assert rows[5]["quote_id"] is None
+
+
+def test_asof_tolerance(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+        payload=["quote_id"], tiebreak="quote_id",
+        tolerance_us=30_000_000,  # 30 s
+    )
+    rows = {r["trade_id"]: r["quote_id"] for r in out.collect()}
+    assert rows[1] is None  # 60 s stale > 30 s tolerance
+    assert rows[2] == 11  # exact match, 0 s
+    assert rows[3] is None  # 60 s stale
+    assert rows[4] is None and rows[5] is None  # never matched
+
+
+def test_asof_null_payload_stays_atomic(spark):
+    """A right row with NULL payload must still win (not resurrect an older
+    row's value) — the struct carry keeps (ts, payload) atomic."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 10:10:00"))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), 5.0), ("k", _ts("2024-01-01 10:05:00"), None)],
+        "k string, ts timestamp, v double",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", payload=["v"])
+    assert out.collect()[0]["v"] is None
+
+
+def test_asof_plan_is_one_shuffle_no_join(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+        payload=["quote_id"], tiebreak="quote_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
+
+
+@pytest.fixture(scope="module")
+def points_intervals(spark):
+    pts = spark.createDataFrame(
+        [("u", 100, 1.0), ("u", 200, 2.0), ("u", 300, 3.0), ("v", 150, 9.0)],
+        "k string, t long, v double",
+    )
+    ivs = spark.createDataFrame(
+        [(1, "u", 100, 200), (2, "u", 250, 1000), (3, "v", 0, 149), (4, "w", 0, 999)],
+        "iv long, k string, lo long, hi long",
+    )
+    return pts, ivs
+
+
+def test_range_join_bounds(spark, points_intervals):
+    pts, ivs = points_intervals
+    def pairs(bounds):
+        out = range_join(
+            pts, ivs, on=["k"], point_us="t", start_us="lo", end_us="hi",
+            bucket_us=1000, bounds=bounds,
+        )
+        return sorted((r["iv"], r["t"]) for r in out.collect())
+
+    assert pairs("[]") == [(1, 100), (1, 200), (2, 300)]
+    assert pairs("[)") == [(1, 100), (2, 300)]
+    assert pairs("(]") == [(1, 200), (2, 300)]
+    assert pairs("()") == [(2, 300)]
+
+
+def test_range_join_interval_spanning_many_buckets(spark, points_intervals):
+    """Correctness must not depend on bucket width: a tiny bucket makes
+    every interval explode to many chunks; a point still pairs exactly once
+    per matching interval (its own single bucket)."""
+    pts, ivs = points_intervals
+    out = range_join(
+        pts, ivs, on=["k"], point_us="t", start_us="lo", end_us="hi",
+        bucket_us=7, bounds="[]",
+    )
+    assert sorted((r["iv"], r["t"]) for r in out.collect()) == [
+        (1, 100), (1, 200), (2, 300)
+    ]
+
+
+def test_range_join_no_nested_loop(spark, points_intervals):
+    pts, ivs = points_intervals
+    out = range_join(
+        pts, ivs, on=["k"], point_us="t", start_us="lo", end_us="hi",
+        bucket_us=1000,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_rejects_bad_bounds(spark, points_intervals):
+    pts, ivs = points_intervals
+    with pytest.raises(ValueError):
+        range_join(
+            pts, ivs, on=["k"], point_us="t", start_us="lo", end_us="hi",
+            bucket_us=1000, bounds="><",
+        )
