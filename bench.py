@@ -350,8 +350,11 @@ def main() -> None:
     # pollute the round-over-round suite comparison.
     extras: dict[str, float] = {}
     extras_cpu: dict[str, float] = {}
+    # asof_join / range_join (round 5) join dedup_clusters here rather than
+    # the headline list: adding queries to HEADLINE mid-round would break
+    # the round-over-round suite-total comparison.
     for _ in range(reps):
-        for name in ("dedup_clusters",):
+        for name in ("dedup_clusters", "asof_join", "range_join"):
             if name not in qs:
                 continue
             spark.catalog.clearCache()

@@ -488,11 +488,38 @@ FROM e LEFT JOIN hits h USING (win_id)
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution: exact interpolated
+    percentiles (p50/p90/p99). The 10^12-row path is the same plan with
+    ``approx_percentile`` — a single-pass mergeable KLL/GK sketch instead of
+    the exact aggregate's full per-group value collection; the exact form is
+    the queries() entry because DuckDB replays it bit-for-bit
+    (``quantile_cont``), and per-group value counts here are bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(pct[0], 4).alias("p50"),
+        F.round(pct[1], 4).alias("p90"),
+        F.round(pct[2], 4).alias("p99"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
     "flagship_route_aggregate": (q_flagship_route_aggregate, SQL_FLAGSHIP),
     "route_counts": (q_route_counts, SQL_ROUTE_COUNTS),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
