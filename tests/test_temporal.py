@@ -155,3 +155,95 @@ def test_range_join_rejects_bad_bounds(spark, points_intervals):
             pts, ivs, on=["k"], point_us="t", start_us="lo", end_us="hi",
             bucket_us=1000, bounds="><",
         )
+
+
+# ---------------------------------------------------------------------------
+# Randomized parity: asof_join vs pandas.merge_asof, range_join vs brute force
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_matches_pandas_merge_asof(spark, seed):
+    rng = np.random.default_rng(seed)
+    keys = np.array(["a", "b", "c", "d"])
+    nl, nr = 300, 200
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(nl),
+            "k": rng.choice(keys, nl),
+            "ts": pd.to_datetime(rng.integers(0, 10_000_000, nl), unit="us"),
+        }
+    )
+    # unique right timestamps PER KEY: pandas merge_asof tie-breaks duplicate
+    # timestamps by row order, which is not a semantic either engine owns
+    right_rows = []
+    for k in keys:
+        ts = rng.choice(10_000_000, size=nr // len(keys), replace=False)
+        for t in ts:
+            right_rows.append((k, t))
+    right = pd.DataFrame(right_rows, columns=["k", "t_us"])
+    right["ts"] = pd.to_datetime(right["t_us"], unit="us")
+    right["rid"] = np.arange(len(right)) + 1000
+    right = right.drop(columns=["t_us"])
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    for tol in (None, 500_000):
+        got = (
+            asof_join(
+                sl, sr, on=["k"], left_ts="ts", right_ts="ts",
+                payload=["rid"], tiebreak="rid",
+                tolerance_us=tol,
+            )
+            .select("lid", "rid")
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction="backward", allow_exact_matches=True,
+            tolerance=None if tol is None else pd.Timedelta(microseconds=tol),
+        )[["lid", "rid"]].sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"rid": "float64"}), exp.astype({"rid": "float64"})
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_range_join_matches_brute_force(spark, seed):
+    rng = np.random.default_rng(seed + 100)
+    keys = np.array(["x", "y", "z"])
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(250),
+            "k": rng.choice(keys, 250),
+            "t": rng.integers(0, 100_000, 250),
+        }
+    )
+    ivs = pd.DataFrame(
+        {
+            "iv": np.arange(60),
+            "k": rng.choice(keys, 60),
+            "lo": rng.integers(0, 90_000, 60),
+        }
+    )
+    ivs["hi"] = ivs["lo"] + rng.integers(0, 20_000, 60)
+    got = (
+        range_join(
+            spark.createDataFrame(pts), spark.createDataFrame(ivs),
+            on=["k"], point_us="t", start_us="lo", end_us="hi",
+            bucket_us=20_000, bounds="[]",
+        )
+        .select("pid", "iv")
+        .toPandas()
+    )
+    got_set = set(map(tuple, got.values))
+    m = pts.merge(ivs, on="k")
+    exp = m[(m.t >= m.lo) & (m.t <= m.hi)][["pid", "iv"]]
+    assert got_set == set(map(tuple, exp.values))
+    assert len(got) == len(exp)  # no duplicate pairs from the bucket explode
