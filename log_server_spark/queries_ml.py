@@ -944,6 +944,44 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (self-trained corpus bigram MLE —
+    operators/lm.py): per doc, the average ln P(w2|w1) over its token
+    bigrams and the resulting perplexity. Low ppl = boilerplate/template,
+    high ppl = noise — the canonical web-corpus quality-bucket signal."""
+    from .operators.lm import bigram_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_perplexity(docs, "doc_id", "text")
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+cnt AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY 1),
+model AS (
+  SELECT w1, w2, ln(c12::DOUBLE / c1::DOUBLE) AS logp
+  FROM cnt JOIN ctx USING (w1)
+),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams, avg(m.logp) AS lp
+  FROM bi b JOIN model m USING (w1, w2) GROUP BY 1
+)
+SELECT doc_id, n_bigrams, round(lp, 4) AS avg_logp, round(exp(-lp), 4) AS ppl
+FROM scored
+"""
+
+
 REGISTRY_ML: dict[str, tuple] = {
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -969,4 +1007,5 @@ REGISTRY_ML: dict[str, tuple] = {
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
 }
