@@ -62,3 +62,32 @@ def hash_stratified_sample(
         keep = F.lit(True) if frac >= 1.0 else (draw < F.lit(_fraction_hex(frac)))
         cond = F.when(F.col(strata_col) == stratum, keep).otherwise(cond)
     return df.where(cond)
+
+
+def hash_quota_per_group(
+    df: DataFrame, group_col: str, n: int, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep AT MOST ``n`` rows per group, chosen deterministically by hash
+    order — the "cap every domain at N pages" anti-over-representation rule
+    (fractional quotas can't bound a group whose size is unknown upfront).
+    The winner set is a pure function of (group, key, salt): stable across
+    runs, engines, and partitionings, and rotating the salt redraws it.
+
+    Scale shape: unlike the fractional samplers above this is NOT
+    predicate-pushable — an exact per-group cap needs a rank, so it costs
+    one shuffle on ``group_col`` (row_number over hash order; hot groups
+    sort-spill rather than OOM since row_number needs no full-group
+    buffering). When an approximate cap suffices at extreme skew, compose
+    ``hash_sample`` with a per-group fraction ~ n/size(group) instead and
+    keep the zero-shuffle scan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_draw(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log_server_spark.functions.text import (
@@ -944,6 +944,86 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_sample_quota(spark, sf_dir):
+    """Cap every source at 40 docs, winners drawn deterministically by hash
+    order — the anti-over-representation rule a fractional quota can't
+    express when group sizes are unknown upfront (operators/sample.py)."""
+    from log_server_spark.operators.sample import hash_quota_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_quota_per_group(docs, "source", 40, key_col="doc_id", salt="cap1")
+    return out.select("doc_id", "source", "lang")
+
+
+SQL_SAMPLE_QUOTA = r"""
+SELECT doc_id, source, lang
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|cap1'), 1, 8), doc_id
+) <= 40
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 keywords by tf-idf (tf = in-doc count, idf =
+    ln(N/df) over document frequency). Tokenizer matches the corpus
+    vocabulary convention. Three keyed shuffles: (doc, tok) counts,
+    tok-level df (model-sized), per-doc top-k window; N is a parquet
+    metadata count, no data pass."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "tok").withColumn(
+        "score",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "tok", "tf",
+            F.round("score", 4).alias("score"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf,
+         t.tf::DOUBLE * ln(n.n_docs / d.df::DOUBLE) AS score
+  FROM tf t JOIN df d USING (tok), n
+)
+SELECT doc_id, tok, tf, round(score, 4) AS score,
+       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+FROM scored QUALIFY rnk <= 3
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring (self-trained corpus bigram MLE —
     operators/lm.py): per doc, the average ln P(w2|w1) over its token
@@ -1008,4 +1088,6 @@ REGISTRY_ML: dict[str, tuple] = {
     "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }

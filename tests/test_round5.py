@@ -386,3 +386,25 @@ def test_contamination_flags_semantics_and_broadcast_plan(spark):
     # the 100 TB shape: the eval side must be broadcast, never shuffled
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_hash_quota_per_group_caps_and_rotates(spark):
+    from log_server_spark.operators.sample import hash_quota_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(90)], "id long, g string"
+    )
+    out = hash_quota_per_group(df, "g", 10, key_col="id", salt="s1")
+    pdf = out.toPandas()
+    # exact cap per group; groups smaller than n keep everything
+    assert pdf.groupby("g").size().tolist() == [10, 10, 10]
+    small = hash_quota_per_group(
+        spark.createDataFrame([(1, "g")], "id long, g string"), "g", 10, "id"
+    )
+    assert small.count() == 1
+    # deterministic: same winners on re-run and after a repartition
+    again = hash_quota_per_group(df.repartition(7), "g", 10, "id", salt="s1").toPandas()
+    assert set(map(tuple, pdf.values)) == set(map(tuple, again.values))
+    # salt rotation redraws the winner set
+    other = hash_quota_per_group(df, "g", 10, "id", salt="s2").toPandas()
+    assert set(map(tuple, pdf.values)) != set(map(tuple, other.values))
