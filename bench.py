@@ -354,7 +354,10 @@ def main() -> None:
     # the headline list: adding queries to HEADLINE mid-round would break
     # the round-over-round suite-total comparison.
     for _ in range(reps):
-        for name in ("dedup_clusters", "asof_join", "range_join"):
+        for name in (
+            "dedup_clusters", "asof_join", "range_join",
+            "lm_perplexity", "tfidf_top_terms",
+        ):
             if name not in qs:
                 continue
             spark.catalog.clearCache()
