@@ -26,6 +26,8 @@ job-fatal at scale. Instead:
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -93,6 +95,64 @@ def asof_join(
         ).otherwise(m)
     return out.select(
         *left.columns, *[m.getField(c).alias(c) for c in payload]
+    )
+
+
+OPEN_END_US = (1 << 63) - 1  # valid_to for the current (still-open) version
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Turn a change log into SCD2 validity intervals: each (keys…, payload)
+    version becomes a row with ``valid_from_us`` (its change timestamp) and
+    ``valid_to_us`` (the NEXT version's timestamp, or :data:`OPEN_END_US`
+    for the current version) — half-open ``[from, to)``, so every instant
+    maps to exactly one version. One window (lead) over one shuffle on the
+    key. Several changes sharing one (key, ts) yield zero-length intervals
+    for all but the ``tiebreak``-greatest, which inherits the real span —
+    the same winner :func:`asof_join` picks.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*on).orderBy(*order)
+    frm = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return changes.select(
+        *on,
+        *payload,
+        frm.alias("valid_from_us"),
+        F.coalesce(F.lead(frm).over(w), F.lit(OPEN_END_US)).alias("valid_to_us"),
+    )
+
+
+def asof_enrich_intervals(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    event_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich events with the version valid at each event's timestamp:
+    equi-join on the keys plus the ``[valid_from_us, valid_to_us)`` range
+    residual. Equivalent to backward :func:`asof_join` against the change
+    log, but expressed as a plain join against a PRECOMPUTED interval frame
+    — which makes it legal in Structured Streaming (stream-static join;
+    the window-carry formulation is not) and lets a dimension-sized
+    interval side broadcast. Batch == stream is pytest-gated.
+    """
+    ev_us = F.unix_micros(F.col(event_ts).cast("timestamp"))
+    e = events.withColumn("__ev_us", ev_us)
+    cond = (ev_us >= F.col("valid_from_us")) & (ev_us < F.col("valid_to_us"))
+    keys = [e[k] == intervals[k] for k in on]
+    out = e.join(intervals, functools.reduce(lambda a, b: a & b, keys) & cond, how)
+    return out.select(
+        *[e[c] for c in events.columns],
+        *[intervals[c] for c in intervals.columns if c not in set(on) | {"valid_from_us", "valid_to_us"}],
     )
 
 

@@ -488,6 +488,35 @@ FROM e LEFT JOIN hits h USING (win_id)
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension builder: each user's purchase events become validity
+    intervals [valid_from_us, valid_to_us) — the precomputed frame the
+    streaming-legal as-of enrichment joins against (operators/temporal.py;
+    stream==batch pytest-gated in test_temporal)."""
+    from .operators.temporal import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("ver_id"), "value"
+    )
+    iv = scd2_intervals(changes, ["user_id"], "ts", ["ver_id", "value"], tiebreak="ver_id")
+    return iv.select(
+        "user_id", "ver_id",
+        F.round("value", 4).alias("value"),
+        "valid_from_us", "valid_to_us",
+    )
+
+
+SQL_SCD2_INTERVALS = """
+SELECT user_id, event_id AS ver_id, round(value, 4) AS value,
+       epoch_us(ts) AS valid_from_us,
+       coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id),
+                9223372036854775807) AS valid_to_us
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length distribution: exact interpolated
     percentiles (p50/p90/p99). The 10^12-row path is the same plan with
@@ -520,6 +549,7 @@ REGISTRY: dict[str, tuple] = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "flagship_route_aggregate": (q_flagship_route_aggregate, SQL_FLAGSHIP),
     "route_counts": (q_route_counts, SQL_ROUTE_COUNTS),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),

@@ -247,3 +247,121 @@ def test_range_join_matches_brute_force(spark, seed):
     exp = m[(m.t >= m.lo) & (m.t <= m.hi)][["pid", "iv"]]
     assert got_set == set(map(tuple, exp.values))
     assert len(got) == len(exp)  # no duplicate pairs from the bucket explode
+
+
+# ---------------------------------------------------------------------------
+# SCD2 intervals + interval-based as-of enrichment (batch == asof_join,
+# and the streaming-legal formulation)
+# ---------------------------------------------------------------------------
+
+def test_scd2_intervals_halfopen_cover(spark):
+    from log_server_spark.operators.temporal import OPEN_END_US, scd2_intervals
+
+    changes = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 10:00:00"), 1),
+            ("k", _ts("2024-01-01 11:00:00"), 2),
+            ("q", _ts("2024-01-01 09:00:00"), 3),
+        ],
+        "k string, ts timestamp, ver long",
+    )
+    rows = {
+        r["ver"]: r
+        for r in scd2_intervals(changes, ["k"], "ts", ["ver"]).collect()
+    }
+    assert rows[1]["valid_to_us"] == rows[2]["valid_from_us"]  # half-open chain
+    assert rows[2]["valid_to_us"] == OPEN_END_US  # current version open
+    assert rows[3]["valid_to_us"] == OPEN_END_US
+
+
+def test_asof_enrich_intervals_equals_asof_join(spark):
+    import numpy as np
+    import pandas as pd
+    from log_server_spark.operators.temporal import (
+        asof_enrich_intervals,
+        scd2_intervals,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = np.array(["a", "b", "c"])
+    ev = pd.DataFrame(
+        {
+            "eid": np.arange(200),
+            "k": rng.choice(keys, 200),
+            "ts": pd.to_datetime(rng.integers(0, 1_000_000, 200), unit="us"),
+        }
+    )
+    ch_rows = []
+    for k in keys:
+        for t in rng.choice(1_000_000, size=30, replace=False):
+            ch_rows.append((k, t))
+    ch = pd.DataFrame(ch_rows, columns=["k", "t_us"])
+    ch["ts"] = pd.to_datetime(ch["t_us"], unit="us")
+    ch["ver"] = np.arange(len(ch)) + 500
+    ch = ch.drop(columns=["t_us"])
+
+    sev, sch = spark.createDataFrame(ev), spark.createDataFrame(ch)
+    via_asof = (
+        asof_join(sev, sch, on=["k"], left_ts="ts", right_ts="ts",
+                  payload=["ver"], tiebreak="ver")
+        .select("eid", "ver").toPandas().sort_values("eid").reset_index(drop=True)
+    )
+    iv = scd2_intervals(sch, ["k"], "ts", ["ver"], tiebreak="ver")
+    via_iv = (
+        asof_enrich_intervals(sev, iv, on=["k"], event_ts="ts", how="left")
+        .select("eid", "ver").toPandas().sort_values("eid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        via_asof.astype({"ver": "float64"}), via_iv.astype({"ver": "float64"})
+    )
+
+
+def test_asof_enrich_intervals_streaming_equals_batch(spark, tmp_path):
+    """The interval formulation is stream-static-join legal: an availableNow
+    stream of events enriched against the static interval frame must equal
+    the batch result row-for-row."""
+    from log_server_spark.operators.temporal import (
+        asof_enrich_intervals,
+        scd2_intervals,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 10:00:00"), 1),
+            ("k", _ts("2024-01-01 11:00:00"), 2),
+        ],
+        "k string, ts timestamp, ver long",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, "k", _ts("2024-01-01 09:30:00")),  # before any version
+            (2, "k", _ts("2024-01-01 10:30:00")),  # version 1
+            (3, "k", _ts("2024-01-01 11:00:00")),  # exact boundary -> version 2
+            (4, "k", _ts("2024-01-01 12:00:00")),  # open tail -> version 2
+        ],
+        "eid long, k string, ts timestamp",
+    )
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    iv = scd2_intervals(changes, ["k"], "ts", ["ver"])
+
+    batch = {
+        r["eid"]: r["ver"]
+        for r in asof_enrich_intervals(
+            spark.read.parquet(src), iv, on=["k"], event_ts="ts"
+        ).collect()
+    }
+    stream_ev = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        asof_enrich_intervals(stream_ev, iv, on=["k"], event_ts="ts")
+        .writeStream.format("memory")
+        .queryName("asof_enrich_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["eid"]: r["ver"]
+        for r in spark.sql("SELECT eid, ver FROM asof_enrich_stream").collect()
+    }
+    assert got == batch == {1: None, 2: 1, 3: 2, 4: 2}
