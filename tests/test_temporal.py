@@ -365,3 +365,26 @@ def test_asof_enrich_intervals_streaming_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT eid, ver FROM asof_enrich_stream").collect()
     }
     assert got == batch == {1: None, 2: 1, 3: 2, 4: 2}
+
+
+def test_asof_enrich_intervals_plan_is_hash_join(spark):
+    """The equi keys must reach a hash/SMJ join with the interval range as
+    a residual — never a nested loop (the fate of a pure non-equi join)."""
+    from log_server_spark.operators.temporal import (
+        asof_enrich_intervals,
+        scd2_intervals,
+    )
+
+    changes = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), 1)], "k string, ts timestamp, ver long"
+    )
+    events = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 10:30:00"))], "eid long, k string, ts timestamp"
+    )
+    iv = scd2_intervals(changes, ["k"], "ts", ["ver"])
+    plan = (
+        asof_enrich_intervals(events, iv, on=["k"], event_ts="ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
