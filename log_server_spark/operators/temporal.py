@@ -43,28 +43,36 @@ def asof_join(
     payload: list[str],
     tiebreak: str | None = None,
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every ``left`` row gains the ``payload`` columns
-    of the LATEST ``right`` row with the same ``on`` keys and
-    ``right_ts <= left_ts`` (exact-timestamp matches included, like
-    ``pandas.merge_asof(allow_exact_matches=True)``). Left rows with no
-    prior right row keep NULL payload (left-outer semantics).
+    """As-of join: every ``left`` row gains the ``payload`` columns of the
+    LATEST ``right`` row with the same ``on`` keys and
+    ``right_ts <= left_ts`` (``direction="backward"``, the default) or the
+    EARLIEST right row with ``right_ts >= left_ts`` (``"forward"``) —
+    exact-timestamp matches included, like
+    ``pandas.merge_asof(allow_exact_matches=True)``. Left rows with no
+    match keep NULL payload (left-outer semantics).
 
     ``payload`` columns must exist on ``right`` and not on ``left``.
     ``tiebreak`` (a right-side column, e.g. an event id) makes the winner
     deterministic when several right rows share one timestamp: the row with
-    the greatest tiebreak value wins. ``tolerance_us`` drops matches older
-    than that many microseconds.
+    the greatest tiebreak value wins. ``tolerance_us`` drops matches more
+    than that many microseconds away.
 
     Scale shape: one shuffle, partitioned by ``on`` — no join operator at
-    all. Timestamps compare at full microsecond precision.
+    all. Timestamps compare at full microsecond precision. ``forward`` is
+    ``backward`` on a negated time axis — same single-window plan, and the
+    tolerance subtraction lands the right way around for free.
     """
-    lt = left.withColumn(_R, F.unix_micros(F.col(left_ts).cast("timestamp"))).withColumn(
-        _L, F.lit(1)
-    )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    sign = 1 if direction == "backward" else -1
+    lt = left.withColumn(
+        _R, F.lit(sign) * F.unix_micros(F.col(left_ts).cast("timestamp"))
+    ).withColumn(_L, F.lit(1))
     rt = right.select(
         *on,
-        F.unix_micros(F.col(right_ts).cast("timestamp")).alias(_R),
+        (F.lit(sign) * F.unix_micros(F.col(right_ts).cast("timestamp"))).alias(_R),
         *payload,
         *( [F.col(tiebreak).alias("__asof_tie")] if tiebreak else [] ),
     ).withColumn(_L, F.lit(0))

@@ -388,3 +388,64 @@ def test_asof_enrich_intervals_plan_is_hash_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_forward_basic(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+        payload=["quote_id"], tiebreak="quote_id", direction="forward",
+    )
+    rows = {r["trade_id"]: r["quote_id"] for r in out.collect()}
+    # trade 1 @10:00 -> next A quote is 11 @10:05; trade 2 @10:05 exact -> 11
+    assert rows[1] == 11 and rows[2] == 11
+    # trade 4 @09:00 -> next B quote @10:00, tie -> greatest tiebreak (13)
+    assert rows[4] == 13
+    # trade 3 @10:01 has no later B quote; C has none at all
+    assert rows[3] is None and rows[5] is None
+
+
+def test_asof_forward_rejects_bad_direction(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+                  payload=["quote_id"], direction="nearest")
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_asof_forward_matches_pandas(spark, seed):
+    rng = np.random.default_rng(seed)
+    keys = np.array(["a", "b", "c"])
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(250),
+            "k": rng.choice(keys, 250),
+            "ts": pd.to_datetime(rng.integers(0, 5_000_000, 250), unit="us"),
+        }
+    )
+    rows = []
+    for k in keys:
+        for t in rng.choice(5_000_000, size=60, replace=False):
+            rows.append((k, t))
+    right = pd.DataFrame(rows, columns=["k", "t_us"])
+    right["ts"] = pd.to_datetime(right["t_us"], unit="us")
+    right["rid"] = np.arange(len(right)) + 9000
+    right = right.drop(columns=["t_us"])
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    for tol in (None, 200_000):
+        got = (
+            asof_join(sl, sr, on=["k"], left_ts="ts", right_ts="ts",
+                      payload=["rid"], tiebreak="rid",
+                      tolerance_us=tol, direction="forward")
+            .select("lid", "rid").toPandas()
+            .sort_values("lid").reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction="forward", allow_exact_matches=True,
+            tolerance=None if tol is None else pd.Timedelta(microseconds=tol),
+        )[["lid", "rid"]].sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"rid": "float64"}), exp.astype({"rid": "float64"})
+        )
