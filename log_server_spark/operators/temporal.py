@@ -188,6 +188,11 @@ def range_join(
     # integer DIV on both sides: float division could bucket a boundary
     # timestamp differently on the point and interval sides
     b = int(bucket_us)
+    # drop negative-length intervals BEFORE the explode: they can never
+    # match (lo > hi fails both bound filters), but F.sequence(a, b) with
+    # a > b silently generates a DESCENDING sequence — a reversed interval
+    # of span k would explode to k garbage bucket rows instead of zero
+    intervals = intervals.where(F.col(end_us) >= F.col(start_us))
     iv = intervals.withColumn(
         "__rj_b",
         F.explode(

@@ -449,3 +449,18 @@ def test_asof_forward_matches_pandas(spark, seed):
         pd.testing.assert_frame_equal(
             got.astype({"rid": "float64"}), exp.astype({"rid": "float64"})
         )
+
+
+def test_range_join_drops_reversed_intervals(spark, points_intervals):
+    """A reversed interval (hi < lo) matches nothing — and must not reach
+    the explode, where F.sequence would generate a DESCENDING bucket list
+    proportional to its span."""
+    pts, _ = points_intervals
+    ivs = spark.createDataFrame(
+        [(1, "u", 200, 100), (2, "u", 100, 200)], "iv long, k string, lo long, hi long"
+    )
+    out = range_join(
+        pts, ivs, on=["k"], point_us="t", start_us="lo", end_us="hi",
+        bucket_us=10, bounds="[]",
+    )
+    assert sorted((r["iv"], r["t"]) for r in out.collect()) == [(2, 100), (2, 200)]
