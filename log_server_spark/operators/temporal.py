@@ -63,9 +63,19 @@ def asof_join(
     all. Timestamps compare at full microsecond precision. ``forward`` is
     ``backward`` on a negated time axis — same single-window plan, and the
     tolerance subtraction lands the right way around for free.
+    ``"nearest"`` carries BOTH directions over the same exchange (two
+    window specs sharing one partitioning = one shuffle, two sorts) and
+    picks the closer match, backward on an exact-distance tie (the
+    ``pandas.merge_asof`` rule).
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, payload, tiebreak, tolerance_us
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     sign = 1 if direction == "backward" else -1
     lt = left.withColumn(
         _R, F.lit(sign) * F.unix_micros(F.col(left_ts).cast("timestamp"))
@@ -103,6 +113,62 @@ def asof_join(
         ).otherwise(m)
     return out.select(
         *left.columns, *[m.getField(c).alias(c) for c in payload]
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tiebreak: str | None,
+    tolerance_us: int | None,
+) -> DataFrame:
+    """Nearest-match as-of: both directional carries over ONE exchange
+    (same partitionBy, two orderings), then pick the closer; backward wins
+    an exact-distance tie."""
+    lt = left.withColumn(
+        _R, F.unix_micros(F.col(left_ts).cast("timestamp"))
+    ).withColumn(_L, F.lit(1))
+    rt = right.select(
+        *on,
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias(_R),
+        *payload,
+        *( [F.col(tiebreak).alias("__asof_tie")] if tiebreak else [] ),
+    ).withColumn(_L, F.lit(0))
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    tie = [F.col("__asof_tie").asc_nulls_first()] if tiebreak else []
+    w_b = Window.partitionBy(*on).orderBy(
+        F.col(_R).asc(), F.col(_L).asc(), *tie
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_f = Window.partitionBy(*on).orderBy(
+        F.col(_R).desc(), F.col(_L).asc(), *tie
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ms = F.when(
+        F.col(_L) == 0,
+        F.struct(F.col(_R).alias("__rts"), *[F.col(c).alias(c) for c in payload]),
+    )
+    out = both.select(
+        "*",
+        F.last(ms, ignorenulls=True).over(w_b).alias("__mb"),
+        F.last(ms, ignorenulls=True).over(w_f).alias("__mf"),
+    ).filter(F.col(_L) == 1)
+    mb, mf = F.col("__mb"), F.col("__mf")
+    d_b = F.col(_R) - mb.getField("__rts")
+    d_f = mf.getField("__rts") - F.col(_R)
+    if tolerance_us is not None:
+        mb = F.when(d_b > F.lit(tolerance_us), F.lit(None)).otherwise(mb)
+        mf = F.when(d_f > F.lit(tolerance_us), F.lit(None)).otherwise(mf)
+    pick = (
+        F.when(mb.isNull(), mf)
+        .when(mf.isNull(), mb)
+        .when(d_b <= d_f, mb)
+        .otherwise(mf)
+    )
+    return out.select(
+        *left.columns, *[pick.getField(c).alias(c) for c in payload]
     )
 
 

@@ -409,7 +409,7 @@ def test_asof_forward_rejects_bad_direction(spark, trades_quotes):
     trades, quotes = trades_quotes
     with pytest.raises(ValueError):
         asof_join(trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
-                  payload=["quote_id"], direction="nearest")
+                  payload=["quote_id"], direction="sideways")
 
 
 @pytest.mark.parametrize("seed", [3, 4])
@@ -464,3 +464,68 @@ def test_range_join_drops_reversed_intervals(spark, points_intervals):
         bucket_us=10, bounds="[]",
     )
     assert sorted((r["iv"], r["t"]) for r in out.collect()) == [(2, 100), (2, 200)]
+
+
+def test_asof_nearest_basic(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+        payload=["quote_id"], tiebreak="quote_id", direction="nearest",
+    )
+    rows = {r["trade_id"]: r["quote_id"] for r in out.collect()}
+    # trade 1 @10:00: quote 10 is 60 s back, quote 11 is 300 s ahead -> 10
+    assert rows[1] == 10
+    # trade 4 @09:00: only future B quotes -> forward match (tie -> 13)
+    assert rows[4] == 13
+    # trade 3 @10:01: backward 60 s, no forward -> 13 (greatest tiebreak)
+    assert rows[3] == 13
+    assert rows[5] is None  # no quotes at all
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_asof_nearest_matches_pandas(spark, seed):
+    rng = np.random.default_rng(seed)
+    keys = np.array(["a", "b"])
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(200),
+            "k": rng.choice(keys, 200),
+            "ts": pd.to_datetime(rng.integers(0, 2_000_000, 200), unit="us"),
+        }
+    )
+    rows = []
+    for k in keys:
+        for t in rng.choice(2_000_000, size=50, replace=False):
+            rows.append((k, t))
+    right = pd.DataFrame(rows, columns=["k", "t_us"])
+    right["ts"] = pd.to_datetime(right["t_us"], unit="us")
+    right["rid"] = np.arange(len(right)) + 7000
+    right = right.drop(columns=["t_us"])
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    for tol in (None, 100_000):
+        got = (
+            asof_join(sl, sr, on=["k"], left_ts="ts", right_ts="ts",
+                      payload=["rid"], tiebreak="rid",
+                      tolerance_us=tol, direction="nearest")
+            .select("lid", "rid").toPandas()
+            .sort_values("lid").reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction="nearest", allow_exact_matches=True,
+            tolerance=None if tol is None else pd.Timedelta(microseconds=tol),
+        )[["lid", "rid"]].sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"rid": "float64"}), exp.astype({"rid": "float64"})
+        )
+
+
+def test_asof_nearest_single_exchange(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="ts", right_ts="ts",
+        payload=["quote_id"], direction="nearest",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Exchange") == 1
