@@ -44,14 +44,16 @@ def asof_join(
     tiebreak: str | None = None,
     tolerance_us: int | None = None,
     direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """As-of join: every ``left`` row gains the ``payload`` columns of the
     LATEST ``right`` row with the same ``on`` keys and
     ``right_ts <= left_ts`` (``direction="backward"``, the default) or the
     EARLIEST right row with ``right_ts >= left_ts`` (``"forward"``) —
-    exact-timestamp matches included, like
-    ``pandas.merge_asof(allow_exact_matches=True)``. Left rows with no
-    match keep NULL payload (left-outer semantics).
+    exact-timestamp matches included by default;
+    ``allow_exact_matches=False`` restricts to strictly-before/after, both
+    matching the ``pandas.merge_asof`` flag. Left rows with no match keep
+    NULL payload (left-outer semantics).
 
     ``payload`` columns must exist on ``right`` and not on ``left``.
     ``tiebreak`` (a right-side column, e.g. an event id) makes the winner
@@ -70,7 +72,8 @@ def asof_join(
     """
     if direction == "nearest":
         return _asof_nearest(
-            left, right, on, left_ts, right_ts, payload, tiebreak, tolerance_us
+            left, right, on, left_ts, right_ts, payload, tiebreak, tolerance_us,
+            allow_exact_matches,
         )
     if direction not in ("backward", "forward"):
         raise ValueError(
@@ -87,9 +90,12 @@ def asof_join(
         *( [F.col(tiebreak).alias("__asof_tie")] if tiebreak else [] ),
     ).withColumn(_L, F.lit(0))
     both = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows order BEFORE left rows at equal ts (exact matches visible);
-    # among right ties the greatest tiebreak sorts last, so last() picks it
-    order = [F.col(_R).asc(), F.col(_L).asc()]
+    # allow_exact_matches: right rows order BEFORE left rows at equal ts so
+    # the running carry has seen them (exact matches visible); flipping the
+    # marker order scans left rows FIRST at equal ts, hiding same-instant
+    # right rows — pandas' allow_exact_matches=False. Among right ties the
+    # greatest tiebreak sorts last, so last() picks it.
+    order = [F.col(_R).asc(), F.col(_L).asc() if allow_exact_matches else F.col(_L).desc()]
     if tiebreak:
         order.append(F.col("__asof_tie").asc_nulls_first())
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
@@ -125,6 +131,7 @@ def _asof_nearest(
     payload: list[str],
     tiebreak: str | None,
     tolerance_us: int | None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """Nearest-match as-of: both directional carries over ONE exchange
     (same partitionBy, two orderings), then pick the closer; backward wins
@@ -140,11 +147,12 @@ def _asof_nearest(
     ).withColumn(_L, F.lit(0))
     both = lt.unionByName(rt, allowMissingColumns=True)
     tie = [F.col("__asof_tie").asc_nulls_first()] if tiebreak else []
+    mk = F.col(_L).asc() if allow_exact_matches else F.col(_L).desc()
     w_b = Window.partitionBy(*on).orderBy(
-        F.col(_R).asc(), F.col(_L).asc(), *tie
+        F.col(_R).asc(), mk, *tie
     ).rowsBetween(Window.unboundedPreceding, 0)
     w_f = Window.partitionBy(*on).orderBy(
-        F.col(_R).desc(), F.col(_L).asc(), *tie
+        F.col(_R).desc(), mk, *tie
     ).rowsBetween(Window.unboundedPreceding, 0)
     ms = F.when(
         F.col(_L) == 0,

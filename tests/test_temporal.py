@@ -529,3 +529,35 @@ def test_asof_nearest_single_exchange(spark, trades_quotes):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_exact_match_exclusion_matches_pandas(spark, direction):
+    """allow_exact_matches=False parity in every direction, on a corpus
+    engineered so many left timestamps EQUAL a right timestamp."""
+    rng = np.random.default_rng(11)
+    base = rng.choice(500_000, size=80, replace=False)
+    right = pd.DataFrame({"k": "g", "t_us": base})
+    right["ts"] = pd.to_datetime(right["t_us"], unit="us")
+    right["rid"] = np.arange(len(right)) + 100
+    right = right.drop(columns=["t_us"])
+    # half the left rows sit exactly ON a right timestamp
+    lt = np.concatenate([rng.choice(base, 60), rng.integers(0, 500_000, 60)])
+    left = pd.DataFrame({"lid": np.arange(len(lt)), "k": "g",
+                         "ts": pd.to_datetime(lt, unit="us")})
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = (
+        asof_join(sl, sr, on=["k"], left_ts="ts", right_ts="ts",
+                  payload=["rid"], tiebreak="rid",
+                  direction=direction, allow_exact_matches=False)
+        .select("lid", "rid").toPandas()
+        .sort_values("lid").reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction=direction, allow_exact_matches=False,
+    )[["lid", "rid"]].sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"rid": "float64"}), exp.astype({"rid": "float64"})
+    )
