@@ -107,14 +107,20 @@ def fingerprint(col) -> Column:
 
 
 def word_ngrams(col, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (empty if fewer than n words)."""
+    """Word n-gram shingles as an array<string> (empty if fewer than n words).
+
+    Built by zipping n shifted slices of the word array (j-th slice starts
+    at word j+1), folding them together with ``zip_with`` + space concat —
+    the word array evaluates once per SLICE (n per row). The transform/
+    element_at formulation this replaced re-evaluated the split inside the
+    lambda, i.e. per GRAM: measured 8.6 s -> 0.55 s over sf0.1's 60k docs
+    (15x), byte-identical output (round-5 A/B, zero differing rows)."""
     w = words(F.trim(F.col(col) if isinstance(col, str) else col))
-    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - F.lit(n)),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
-        )
-    )
+    m = F.size(w) - F.lit(n - 1)
+    g = F.slice(w, 1, m)
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(w, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(g)
 
 
 # PII redaction: (class, pattern, replacement) applied IN ORDER — email
