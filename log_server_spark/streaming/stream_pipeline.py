@@ -146,14 +146,33 @@ def start_ingest(
     domain_lookup: DataFrame,
     available_now: bool = False,
     watermark: str = "1 day",
+    max_files_per_trigger: int = 8,
 ):
     """Start the exactly-once streaming ingest into a partitioned file sink.
 
     ``available_now=True`` drains the current directory contents and stops —
     the streaming equivalent of one batch `update` run (useful for tests and
     for catch-up runs); otherwise the query runs continuously.
+
+    Two operating modes, tuned by (watermark, max_files_per_trigger):
+
+    - **Tailing** a live log (event time ≈ arrival order): the defaults —
+      small triggers for latency, a tight watermark to bound dedup state.
+    - **Catch-up / backfill** over HISTORICAL data: the watermark MUST span
+      the corpus's event-time range and the trigger should be large. A
+      tight watermark over out-of-order history is the classic silent-drop
+      footgun: after the first micro-batch the watermark jumps to
+      (max seen − watermark) and every stateful operator DROPS older rows
+      as late — measured on a 30-day random-order corpus with the 1-day
+      default: 71k of 260k records survived. With watermark ≥ span the
+      same run is row-identical to batch (260,065 == batch). Small
+      triggers also pay per-trigger state-commit costs: 8-file triggers
+      ran 34x slower than one 64-file trigger on the same input.
     """
-    routed = streaming_records(spark, pages_dir, lang_lookup, domain_lookup, watermark)
+    routed = streaming_records(
+        spark, pages_dir, lang_lookup, domain_lookup, watermark,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     writer = (
         routed.writeStream.format("parquet")
         .option("path", out_dir)
