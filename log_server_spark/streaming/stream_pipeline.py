@@ -200,6 +200,14 @@ def start_ingest(
         spark, pages_dir, lang_lookup, domain_lookup, watermark,
         max_files_per_trigger=max_files_per_trigger,
     )
+    # align the write partitioning with the sink layout: without this every
+    # one of the N shuffle partitions sprays a file into every (sink, day)
+    # dir it touches — N x |dirs| tiny files and the dominant cost of the
+    # whole query (measured on the 240k-page catch-up: 60.2 s with the
+    # sprayed write vs 9.1 s to a noop sink; keyed repartition collapses
+    # the write to one file per (sink, day) per trigger, same move the
+    # batch writer's salted repartition makes at pipeline.py run_batch)
+    routed = routed.repartition(F.col("sink"), F.col("day"))
     writer = (
         routed.writeStream.format("parquet")
         .option("path", out_dir)
