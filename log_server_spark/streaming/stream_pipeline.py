@@ -193,8 +193,10 @@ def start_ingest(
       as late — measured on a 30-day random-order corpus with the 1-day
       default: 71k of 260k records survived. With watermark ≥ span the
       same run is row-identical to batch (260,065 == batch). Small
-      triggers also pay per-trigger state-commit costs: 8-file triggers
-      ran 34x slower than one 64-file trigger on the same input.
+      triggers also pay per-trigger costs (state-store commits, task
+      spawn, sink manifest) that one big trigger pays once: 8-file
+      triggers measured 139.6 s vs 18.2 s for one 64-file trigger on the
+      same input after the keyed sink repartition.
     """
     routed = streaming_records(
         spark, pages_dir, lang_lookup, domain_lookup, watermark,
