@@ -152,6 +152,9 @@ def start_saved_ingest(
         .dropDuplicatesWithinWatermark(["table", "record_id", "record_hash"])
         .withColumn("day", F.to_date("warc_ts"))
     )
+    # one file per day per trigger, not one per (shuffle partition x day)
+    # — same keyed-repartition move as start_ingest's sink (measured 7x)
+    records = records.repartition(F.col("day"))
     writer = (
         records.writeStream.format("parquet")
         .option("path", out_dir)
