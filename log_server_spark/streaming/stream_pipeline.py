@@ -253,8 +253,11 @@ def start_windowed_stats(
             "n_urls_approx",
         )
     )
+    # closed windows per trigger are a handful of rows; without the
+    # single-partition coalesce every trigger writes one near-empty file
+    # per shuffle partition (32/trigger), compounding forever
     writer = (
-        agg.writeStream.format("parquet")
+        agg.repartition(1, F.lit(0)).writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
@@ -296,6 +299,13 @@ def start_record_sessions(
         F.col("warc_ts").alias("ts"),
         F.col("n_bytes").cast("double").alias("value"),
     )
+    # NO repartition here, deliberately: applyInPandasWithState emits
+    # columnar Arrow batches and the streaming planner does not insert a
+    # columnar->row transition before an Exchange — any repartition of its
+    # output dies with ColumnarBatchRow->UnsafeRow ClassCastException
+    # (reproduced on 4.1). Closed sessions per trigger are few, so the
+    # per-shuffle-partition small files are bounded by the trigger rate;
+    # compact downstream if they matter.
     writer = (
         streaming_sessions(events, watermark=watermark)
         .writeStream.format("parquet")
