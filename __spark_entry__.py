@@ -20,8 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from log_server_spark.queries import REGISTRY  # noqa: E402
 from log_server_spark.queries_graft import REGISTRY_GRAFT  # noqa: E402
 from log_server_spark.queries_ml import REGISTRY_ML  # noqa: E402
+from log_server_spark.queries_web import REGISTRY_WEB  # noqa: E402
 
-_ALL = {**REGISTRY_GRAFT, **REGISTRY, **REGISTRY_ML}
+_ALL = {**REGISTRY_GRAFT, **REGISTRY, **REGISTRY_ML, **REGISTRY_WEB}
 
 
 def entry(spark: SparkSession) -> DataFrame:

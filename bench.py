@@ -357,6 +357,8 @@ def main() -> None:
         for name in (
             "dedup_clusters", "asof_join", "range_join",
             "lm_perplexity", "tfidf_top_terms",
+            "url_normalize", "url_dedup", "domain_stats",
+            "pagerank", "quality_classifier",
         ):
             if name not in qs:
                 continue
