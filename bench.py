@@ -358,7 +358,7 @@ def main() -> None:
             "dedup_clusters", "asof_join", "range_join",
             "lm_perplexity", "tfidf_top_terms",
             "url_normalize", "url_dedup", "domain_stats",
-            "pagerank", "quality_classifier",
+            "pagerank", "quality_classifier", "embedding_kmeans",
         ):
             if name not in qs:
                 continue

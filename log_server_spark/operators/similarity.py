@@ -392,3 +392,88 @@ def ann_ivf_topk(
             F.round("cosine", 4).alias("cosine_r"),
         )
     )
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over ``(id, embedding)``; returns the
+    assignment ``(id, cluster, dist_r)`` after ``iters`` assignment rounds
+    with a centroid update between consecutive rounds. The trained-centroid
+    companion to ``ann_ivf_topk``'s sampled coarse quantizer (its docstring:
+    "on a real corpus you would drop in trained centroids").
+
+    Deterministic + engine-portable by construction:
+    - init = the k lowest-id vectors (no RNG);
+    - distances are left-fold double adds over the stored element order;
+    - updated centroid coordinates are ROUNDED to 6 decimals — that one
+      rounding pins the (summation-order-sensitive) elementwise means so
+      iteration 2's argmin agrees bit-for-bit with any double-math oracle;
+    - argmin ties break on the lower centroid id (min_by on (dist, cid)).
+
+    Scale shape per iteration, N vectors x d dims x K clusters:
+    - assignment: broadcast NLJ against the K-row centroid frame (K*d
+      doubles — model-sized, like the enrichment dims), then a min_by
+      aggregation whose map-side combine collapses the N*K scored rows to
+      one row per vector BEFORE the shuffle — the exchange carries O(N).
+    - update: posexplode to (cluster, pos, val) with partial avg — the
+      exchange carries O(K*d) per partition, not O(N*d).
+    No collect: the model stays a DataFrame end-to-end, so the whole
+    training loop is one lazy plan (iters is small for corpus bucketing;
+    checkpoint the centroid frame past ~10 iterations, same pattern as
+    dedup_text.components_from_pairs).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cent = (
+        v.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    )
+    assigned = None
+    for it in range(iters):
+        scored = v.join(F.broadcast(cent)).withColumn(
+            "d", _sqdist(F.col("v"), F.col("cv"))
+        )
+        assigned = (
+            scored.groupBy("vid")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cid"), F.col("v"), F.col("d")),
+                    F.struct(F.col("d"), F.col("cid")),
+                ).alias("w")
+            )
+            .select("vid", F.col("w.cid").alias("cid"), F.col("w.v").alias("v"), F.col("w.d").alias("d"))
+        )
+        if it == iters - 1:
+            break
+        cent = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("cv")
+            )
+        )
+    return assigned.select(
+        "vid",
+        F.col("cid").alias("cluster"),
+        F.round(F.col("d"), 4).alias("dist_r"),
+    )

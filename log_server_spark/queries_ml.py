@@ -36,6 +36,7 @@ from log_server_spark.operators.multimodal import extract_features, media_from_d
 from log_server_spark.operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
+    kmeans_assign,
     lsh_cosine_topk,
 )
 
@@ -1062,8 +1063,44 @@ FROM scored
 """
 
 
+def q_embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 2 assignment rounds) over the
+    embedding corpus — the trained coarse quantizer IVF plugs in. See
+    operators/similarity.py:kmeans_assign for the determinism pins
+    (lowest-id init, left-fold distances, round-6 centroid means)."""
+    vecs = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(vecs, k=8, iters=2).withColumnRenamed("vid", "vec_id")
+
+
+SQL_EMBEDDING_KMEANS = r"""
+WITH v AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+c0 AS (SELECT vid AS cid, v AS cv FROM v ORDER BY vid LIMIT 8),
+s1 AS (SELECT vid, v, cid,
+         list_sum(list_transform(generate_series(1, len(v)),
+                  i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d
+       FROM v, c0),
+a1 AS (SELECT vid, v, cid FROM (
+         SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn FROM s1)
+       WHERE rn = 1),
+m1 AS (SELECT cid, pos, round(avg(val), 6) AS m FROM (
+         SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM a1)
+       GROUP BY cid, pos),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+s2 AS (SELECT vid, cid,
+         list_sum(list_transform(generate_series(1, len(v)),
+                  i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d
+       FROM v, c1),
+a2 AS (SELECT vid, cid, d FROM (
+         SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn FROM s2)
+       WHERE rn = 1)
+SELECT vid AS vec_id, cid AS cluster, round(d, 4) AS dist_r FROM a2
+"""
+
+
 REGISTRY_ML: dict[str, tuple] = {
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
+    "embedding_kmeans": (q_embedding_kmeans, SQL_EMBEDDING_KMEANS),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "langid": (q_langid, SQL_LANGID),

@@ -193,3 +193,52 @@ def test_ivf_recall_vs_exact(emb):
     from log_server_spark.operators.similarity import ann_ivf_topk as _  # noqa: F401
     for r in ann_ivf_topk(queries, corpus, k=3, nprobe=2).collect():
         assert abs(exact500[(r["query_id"], r["neighbor_id"])] - r["cosine_r"]) < 1e-9
+
+
+class TestKmeans:
+    def test_kmeans_recovers_separated_blobs(self, spark):
+        """Three well-separated blobs: every point lands with its blob's
+        seed centroid after 2 rounds, and assignments are perfectly pure."""
+        import itertools
+
+        from log_server_spark.operators.similarity import kmeans_assign
+
+        centers = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]
+        rows = []
+        vid = 0
+        # ids 0,1,2 are one point of each blob -> the lowest-id init picks
+        # one seed per blob
+        for rep in range(10):
+            for b, (cx, cy) in enumerate(centers):
+                dx = ((vid * 7) % 5) * 0.1
+                dy = ((vid * 11) % 5) * 0.1
+                rows.append((vid, b, [cx + dx, cy + dy]))
+                vid += 1
+        df = spark.createDataFrame(rows, ["vec_id", "blob", "embedding"])
+        out = kmeans_assign(df, k=3, iters=2).withColumnRenamed("vid", "vec_id")
+        got = {r.vec_id: r.cluster for r in out.collect()}
+        blobs = {r[0]: r[1] for r in rows}
+        # purity: all members of a blob share one cluster, distinct per blob
+        by_blob = {}
+        for v, c in got.items():
+            by_blob.setdefault(blobs[v], set()).add(c)
+        assert all(len(s) == 1 for s in by_blob.values())
+        assert len(set(itertools.chain.from_iterable(by_blob.values()))) == 3
+
+    def test_kmeans_update_moves_centroids(self, spark):
+        """iters=2 differs from iters=1 when the seed points are off-center
+        (the update actually recomputes means)."""
+        from log_server_spark.operators.similarity import kmeans_assign
+
+        # seeds 0 and 1 both sit in blob A; blob B far away has no seed.
+        rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.0])]
+        rows += [(i, [50.0 + (i % 3) * 0.1, 0.0]) for i in range(3, 9)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        a1 = {r.vid: r.cluster for r in kmeans_assign(df, k=2, iters=1).collect()}
+        a2 = {r.vid: r.cluster for r in kmeans_assign(df, k=2, iters=2).collect()}
+        # round 1: everything in blob B picks seed 1 (closer of the two);
+        # after the update, centroid 1 moves into blob B and keeps it, while
+        # blob A consolidates under centroid 0 — vec 1 flips to cluster 0.
+        assert a1[1] == 1 and all(a1[i] == 1 for i in range(3, 9))
+        assert a2[1] == 0 and all(a2[i] == 1 for i in range(3, 9))
+        assert all(a2[i] == 0 for i in (0, 1, 2))
