@@ -285,6 +285,69 @@ SELECT node AS doc_id, round(pr * (SELECT n FROM nn), 4) AS pr_norm FROM r3
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup clustering composed with model-based scoring: per duplicate
+    cluster keep the HIGHEST-q_score member (ties -> lowest doc_id), not
+    the arbitrary min-id keeper — the curation rule real pipelines use
+    (keep the best copy, drop the rest). Demonstrates that the clustering
+    primitive (components_from_pairs) composes with any scoring function.
+    Plan shape: the components labels join the scored docs on doc_id, then
+    ONE window ranked within cluster_id — output-sensitive, sized by the
+    corpus, never by pairs."""
+    import os
+
+    from log_server_spark.operators.dedup_text import (
+        components_from_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=8, shingle_n=3, threshold=0.5, base="md5",
+    )
+    comp = components_from_pairs(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b",
+        checkpoint_dir=os.environ.get("LSS_CHECKPOINT_DIR") or None,
+    ).select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    scored = q_quality_classifier(spark, sf_dir).select("doc_id", "q_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(scored, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "q_score", "keep")
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    from log_server_spark.queries_ml import _minhash_lsh_sql
+
+    pairs_sql = _minhash_lsh_sql().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
+),
+clus AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id),
+{_SQL_QC_CTES}
+SELECT c.doc_id, c.cluster_id, s.q_score,
+       (row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY s.q_score DESC, c.doc_id) = 1) AS keep
+FROM clus c JOIN scored s ON s.doc_id = c.doc_id
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Model-based quality filter: a fixed-weight linear classifier (the
     shape of a fasttext/DCLM-style quality model scored at inference time)
@@ -308,8 +371,7 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
-SQL_QUALITY_CLASSIFIER = r"""
-WITH feats AS (
+_SQL_QC_CTES = r"""feats AS (
   SELECT doc_id,
     CASE WHEN length(trim(text)) = 0 THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
@@ -336,9 +398,14 @@ scored AS (
            - 0.1 * abs(coalesce(mean_word_len, 0.0) - 5.0)
     ))), 4) AS q_score
   FROM feats
+)"""
+
+SQL_QUALITY_CLASSIFIER = (
+    "WITH " + _SQL_QC_CTES
+    + "\nSELECT doc_id, q_score, q_score >= 0.5 AS keep FROM scored\n"
 )
-SELECT doc_id, q_score, q_score >= 0.5 AS keep FROM scored
-"""
+
+SQL_DEDUP_KEEP_BEST = _dedup_keep_best_sql()
 
 
 REGISTRY_WEB: dict[str, tuple] = {
@@ -347,4 +414,5 @@ REGISTRY_WEB: dict[str, tuple] = {
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
 }
