@@ -576,3 +576,55 @@ def contamination_flags(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def substring_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_n: int = 12,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate pairs: (id_a, id_b, shared_windows) for
+    every doc pair sharing at least one run of ``window_n`` consecutive
+    lowercase whitespace tokens — the within-corpus form of the
+    train-on-test probe (`contamination_flags`), and the distributed
+    restatement of suffix-based substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a suffix array is a
+    single-machine index, but "share a >=K-token run" is exactly "share a
+    K-token window", which is one explode + one equi-join in Spark.
+
+    Scale shape: windows are keyed by ``md5`` (128-bit) so the self-join
+    shuffles 16-byte hex keys, never the window text — at the 10^12-doc
+    design point the corpus holds ~10^15 windows, past a 64-bit key's
+    birthday bound, while 128 bits stays collision-free. ``array_distinct``
+    runs per row BEFORE the explode (repeated boilerplate inside one doc
+    costs one row). The pair aggregation is output-sensitive: count(*) per
+    (a, b) after the join IS the distinct shared-window count because each
+    side emits each window once per doc.
+
+    A window shared by k docs emits k*(k-1)/2 pairs — that is the answer,
+    not an artifact, but corpus-wide boilerplate (headers, licenses) can
+    make k huge while signalling nothing. ``max_df`` drops windows whose
+    document frequency exceeds it (one output-sensitive pre-aggregation on
+    the same key) — the standard boilerplate guard at scale; the default
+    ``None`` keeps exact semantics for the oracle.
+    """
+    wins = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.lower(F.trim(F.col(text_col))), window_n))
+        ).alias("w"),
+    ).select("doc_id", F.md5("w").alias("h"))
+    if max_df is not None:
+        keep = wins.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
+        wins = wins.join(keep.where(F.col("df_") <= max_df).select("h"), "h")
+    a, b = wins.alias("a"), wins.alias("b")
+    return (
+        a.join(b, "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )

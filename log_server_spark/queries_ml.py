@@ -1098,6 +1098,38 @@ SELECT vid AS vec_id, cid AS cluster, round(d, 4) AS dist_r FROM a2
 """
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Within-corpus exact-substring dedup: every doc pair sharing at
+    least one run of 12 consecutive tokens (the distributed restatement
+    of suffix-array substring dedup — see
+    operators/dedup_text.py:substring_duplicate_pairs for the scale
+    shape: md5-keyed self-join, per-doc distinct before the explode,
+    output-sensitive pair aggregation)."""
+    from log_server_spark.operators.dedup_text import substring_duplicate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_duplicate_pairs(docs, "doc_id", "text", window_n=12).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_DEDUP_SUBSTRING = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(t) - 11),
+      i -> array_to_string(t[i:i+11], ' '))
+  )) AS w
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents)
+  WHERE len(t) >= 12
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_windows
+FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 REGISTRY_ML: dict[str, tuple] = {
     "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "embedding_kmeans": (q_embedding_kmeans, SQL_EMBEDDING_KMEANS),
@@ -1127,4 +1159,5 @@ REGISTRY_ML: dict[str, tuple] = {
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
 }

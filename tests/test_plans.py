@@ -103,11 +103,13 @@ def test_no_driver_collect_in_any_query(spark, monkeypatch):
             # aggregates are O(1)-row bookkeeping (lineage/ts-range/metrics),
             # not data materialization — the ban targets operator plans
             continue
-        if name == "dedup_clusters":
+        if name in ("dedup_clusters", "dedup_keep_best"):
             # iterative connected components localCheckpoints label frames
-            # per round (the standard lineage-truncation idiom) — jobs run
-            # at construction but data stays on EXECUTORS; nothing reaches
-            # the driver
+            # per round (the standard lineage-truncation idiom) and reads
+            # back a 1-row label-sum scalar for the convergence early-exit
+            # — jobs run at construction but data stays on EXECUTORS;
+            # nothing reaches the driver beyond O(1) bookkeeping.
+            # dedup_keep_best composes the same operator.
             continue
         df = fn(spark, SF_DIR)  # constructing the plan must not collect
         assert df.columns, name

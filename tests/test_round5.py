@@ -408,3 +408,54 @@ def test_hash_quota_per_group_caps_and_rotates(spark):
     # salt rotation redraws the winner set
     other = hash_quota_per_group(df, "g", 10, "id", salt="s2").toPandas()
     assert set(map(tuple, pdf.values)) != set(map(tuple, other.values))
+
+
+def test_substring_duplicate_pairs_semantics(spark):
+    from log_server_spark.operators.dedup_text import substring_duplicate_pairs
+
+    run = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"  # 12 tokens
+    short = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11"    # 11 — below the window
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro " + run + " outro"),
+            (2, "other lead " + run),          # shares the 12-token run with 1
+            (3, short + " x " + short),        # repeats an 11-run: no pair
+            (4, run + " " + run),              # in-doc repeat: distinct once
+            (5, boiler), (6, boiler), (7, boiler), (8, boiler),  # 4-way boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_duplicate_pairs(docs, "doc_id", "text", window_n=12)
+    got = {(r["id_a"], r["id_b"]): r["shared_windows"] for r in out.collect()}
+    # 1-2 share exactly the one 12-token window; 4 shares it with both
+    assert got[(1, 2)] == 1 and got[(1, 4)] == 1 and got[(2, 4)] == 1
+    assert 3 not in {i for p in got for i in p}
+    # boilerplate quartet pairs quadratically (6 pairs)...
+    assert {(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)} <= set(got)
+    # ...and max_df=3 drops the df=4 boilerplate window while the df=3
+    # shared run (docs 1, 2, 4) survives
+    capped = substring_duplicate_pairs(docs, "doc_id", "text", 12, max_df=3)
+    cgot = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not ({(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)} & cgot)
+    assert {(1, 2), (1, 4), (2, 4)} <= cgot
+
+
+def test_dedup_substring_matches_duckdb_oracle(spark):
+    import duckdb
+
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    sdf = qs["dedup_substring"](spark, "/root/testdata/sf0.001").toPandas()
+    ddf = con.sql(oracles["dedup_substring"]).df()
+    assert len(sdf) == len(ddf)
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    d = ddf[cols].sort_values(cols).reset_index(drop=True)
+    for col in cols:
+        assert s[col].astype("int64").tolist() == d[col].astype("int64").tolist(), col
