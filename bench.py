@@ -359,7 +359,7 @@ def main() -> None:
             "lm_perplexity", "tfidf_top_terms",
             "url_normalize", "url_dedup", "domain_stats",
             "pagerank", "quality_classifier", "embedding_kmeans",
-            "dedup_keep_best", "dedup_substring",
+            "dedup_keep_best", "dedup_substring", "dedup_incremental",
         ):
             if name not in qs:
                 continue

@@ -185,6 +185,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     base: str = "xxhash64",
+    delta_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact n-gram Jaccard.
 
@@ -200,6 +201,18 @@ def minhash_lsh_pairs(
     filter requires to be meaningful; a caller who wants zero-overlap
     candidates for scoring should left-join ``candidates`` back with
     ``coalesce(shared, 0)``.
+
+    INCREMENTAL mode (``delta_ids``: a one-column frame of ids): emit only
+    pairs touching at least one delta doc — exactly the full output
+    filtered to the delta (band matching is pairwise, so restricting one
+    join side loses nothing else). This is the near-dup analogue of the
+    pipeline's committed-keys anti-join: ingesting a batch checks it
+    against the corpus AND itself without re-pairing committed docs, so
+    the band join is O(corpus x delta) band rows, not O(corpus^2). At the
+    100 TB point the committed side's signatures come from a stored
+    signatures table (`minhash_signatures` written at ingest, the same
+    lifecycle as records_keys) instead of the recompute this
+    reference-twin form does; the band join and verify are unchanged.
     """
     if threshold <= 0.0:
         raise ValueError(
@@ -244,12 +257,39 @@ def minhash_lsh_pairs(
     )
     left = banded.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "band", "key")
     right = banded.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "band", "key")
-    candidates = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sz_a", "sz_b")
-        .distinct()
-    )
+    if delta_ids is None:
+        candidates = (
+            left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sz_a", "sz_b")
+            .distinct()
+        )
+    else:
+        # one side of the band join shrinks to the delta (semi-join on its
+        # ids); both orderings of a {delta, committed} pair survive via
+        # id_a != id_b, then least/greatest canonicalizes before distinct
+        d = delta_ids.select(F.col(delta_ids.columns[0]).alias("id_b")).distinct()
+        candidates = (
+            left.join(right.join(d, "id_b"), ["band", "key"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("ia"),
+                F.greatest("id_a", "id_b").alias("ib"),
+                F.when(F.col("id_a") < F.col("id_b"), F.col("sz_a"))
+                .otherwise(F.col("sz_b"))
+                .alias("sa"),
+                F.when(F.col("id_a") < F.col("id_b"), F.col("sz_b"))
+                .otherwise(F.col("sz_a"))
+                .alias("sb"),
+            )
+            .select(
+                F.col("ia").alias("id_a"),
+                F.col("ib").alias("id_b"),
+                F.col("sa").alias("sz_a"),
+                F.col("sb").alias("sz_b"),
+            )
+            .distinct()
+        )
     # exact verify in ONE consumption of `candidates` (round 4): explode
     # each candidate pair into its two doc ids, equi-join that against the
     # CACHED per-doc shingle-hash sets, and count the shingles seen from

@@ -1098,6 +1098,37 @@ SELECT vid AS vec_id, cid AS cluster, round(d, 4) AS dist_r FROM a2
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup dedup: the doc_id %% 5 == 0 slice plays the
+    incoming batch; emit only near-dup pairs touching it. Provably the
+    full LSH output filtered to the delta (band matching is pairwise), at
+    O(corpus x delta) band-join cost — the near-dup analogue of the
+    pipeline's committed-keys anti-join (operators/dedup_text.py:
+    minhash_lsh_pairs, INCREMENTAL mode)."""
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    return (
+        minhash_lsh_pairs(
+            docs, "doc_id", "text",
+            num_hashes=16, bands=8, shingle_n=3, threshold=0.5, base="md5",
+            delta_ids=delta,
+        )
+        .withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    return (
+        "SELECT * FROM (\n"
+        + _minhash_lsh_sql().strip()
+        + "\n) WHERE doc_a % 5 = 0 OR doc_b % 5 = 0\nORDER BY doc_a, doc_b\n"
+    )
+
+
+SQL_DEDUP_INCREMENTAL = _dedup_incremental_sql()
+
+
 def q_dedup_substring(spark, sf_dir):
     """Within-corpus exact-substring dedup: every doc pair sharing at
     least one run of 12 consecutive tokens (the distributed restatement
@@ -1160,4 +1191,5 @@ REGISTRY_ML: dict[str, tuple] = {
     "sample_quota": (q_sample_quota, SQL_SAMPLE_QUOTA),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
 }

@@ -459,3 +459,44 @@ def test_dedup_substring_matches_duckdb_oracle(spark):
     d = ddf[cols].sort_values(cols).reset_index(drop=True)
     for col in cols:
         assert s[col].astype("int64").tolist() == d[col].astype("int64").tolist(), col
+
+
+def test_dedup_incremental_equals_full_pairs_filtered(spark):
+    """Property behind the oracle: incremental mode == full LSH pairs
+    filtered to pairs touching the delta."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from log_server_spark.operators.dedup_text import minhash_lsh_pairs
+    from log_server_spark.queries_ml import _t
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    full = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=8, shingle_n=3, threshold=0.5, base="md5",
+    ).toPandas()
+    delta = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    inc = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=8, shingle_n=3, threshold=0.5, base="md5",
+        delta_ids=delta,
+    ).toPandas()
+    want = full[(full.id_a % 5 == 0) | (full.id_b % 5 == 0)]
+    assert set(map(tuple, want[["id_a", "id_b"]].values)) == set(
+        map(tuple, inc[["id_a", "id_b"]].values)
+    )
+    assert len(inc) == len(want) and len(inc) < len(full)
+
+    # and the registered query matches its DuckDB oracle
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    sdf = qs["dedup_incremental"](spark, sf).toPandas()
+    ddf = con.sql(oracles["dedup_incremental"]).df()
+    assert len(sdf) == len(ddf)
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    d = ddf[cols].sort_values(cols).reset_index(drop=True)
+    for col in cols:
+        assert s[col].astype(str).tolist() == d[col].astype(str).tolist(), col
