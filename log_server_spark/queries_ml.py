@@ -1129,6 +1129,40 @@ def _dedup_incremental_sql() -> str:
 SQL_DEDUP_INCREMENTAL = _dedup_incremental_sql()
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-and-cut): every doc assigned to the
+    2048-token training sequence where it starts, in 8 deterministic
+    hash shards — one shuffle + one per-shard window, no stateful scan
+    (operators/pack.py)."""
+    from log_server_spark.operators.pack import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return pack_sequences(d, "doc_id", "n_tokens", budget=2048, n_shards=8, salt="ep0")
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+         md5(CAST(doc_id AS VARCHAR) || '|ep0') AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, substr(h, 1, 8) AS ok,
+         CAST(CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) % 8 AS INT) AS shard
+  FROM t
+), c AS (
+  SELECT doc_id, shard,
+         coalesce(sum(toks) OVER (
+           PARTITION BY shard ORDER BY ok, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM s
+)
+SELECT doc_id, shard, cum // 2048 AS seq, cum % 2048 AS begin_off FROM c
+"""
+
+
 def q_dedup_substring(spark, sf_dir):
     """Within-corpus exact-substring dedup: every doc pair sharing at
     least one run of 12 consecutive tokens (the distributed restatement
@@ -1192,4 +1226,5 @@ REGISTRY_ML: dict[str, tuple] = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 }

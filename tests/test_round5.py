@@ -500,3 +500,36 @@ def test_dedup_incremental_equals_full_pairs_filtered(spark):
     d = ddf[cols].sort_values(cols).reset_index(drop=True)
     for col in cols:
         assert s[col].astype(str).tolist() == d[col].astype(str).tolist(), col
+
+
+def test_pack_sequences_concat_and_cut(spark):
+    from log_server_spark.operators.pack import pack_sequences
+
+    # single shard so the packing math is fully visible
+    df = spark.createDataFrame(
+        [(i, 600) for i in range(1, 8)] + [(99, 0)], "id long, tok long"
+    )
+    out = pack_sequences(df, "id", "tok", budget=1000, n_shards=1, salt="x")
+    rows = {r["id"]: (r["shard"], r["seq"], r["begin_off"]) for r in out.collect()}
+    assert all(v[0] == 0 for v in rows.values())
+    # cumulative starts: the seven 600-token docs start at 0,600,...,3600
+    # regardless of the hash order; the 0-token doc shares the start of
+    # whichever doc follows it (or 4200 if it hashed last)
+    starts = sorted(v[1] * 1000 + v[2] for k, v in rows.items() if k != 99)
+    assert starts == [0, 600, 1200, 1800, 2400, 3000, 3600]
+    assert rows[99][1] * 1000 + rows[99][2] in set(range(0, 4201, 600))
+    # deterministic across partitionings; salt rotation reshuffles the order
+    again = pack_sequences(df.repartition(5), "id", "tok", 1000, 1, salt="x")
+    assert {tuple(r) for r in again.collect()} == {
+        (k,) + v for k, v in rows.items()
+    }
+    other = pack_sequences(df, "id", "tok", 1000, 1, salt="y").collect()
+    assert {(r["id"], r["seq"], r["begin_off"]) for r in other} != {
+        (k, v[1], v[2]) for k, v in rows.items()
+    }
+    # sequences never span shards: every (shard, seq=0) exists independently
+    sharded = pack_sequences(df, "id", "tok", 1000, 4, salt="x")
+    pdf = sharded.toPandas()
+    assert set(pdf.shard.unique()) <= {0, 1, 2, 3}
+    for _, g in pdf.groupby("shard"):
+        assert (g.sort_values(["seq", "begin_off"]).iloc[0][["seq", "begin_off"]] == 0).all()
