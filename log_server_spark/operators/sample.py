@@ -91,3 +91,60 @@ def hash_quota_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    fraction: float,
+    salt: str = "",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Resample toward a target source MIXTURE: keep ~``fraction`` of the
+    corpus with the kept set's composition following ``weights`` (relative
+    shares per source; absent sources get ``default_weight``) — the
+    "upweight curated sources, downweight the crawl tail" mixing step that
+    a plain per-stratum fraction can't express when the target is stated
+    as weights and the source sizes are only known from the data.
+
+    Per-source keep fraction: f_s = min(1, fraction * N * (w_s / W) / n_s)
+    with N = corpus rows, n_s = source rows, W = sum of weights over the
+    sources PRESENT. The min-clip is single-pass (no waterfilling
+    iteration): a source too small for its target keeps everything and the
+    realized total lands slightly under ``fraction`` — the standard
+    practical approximation, and deterministic.
+
+    Scale shape: fully in-plan — the per-source frame is one model-sized
+    aggregate joined back by BROADCAST; membership stays the md5-threshold
+    predicate of ``hash_sample`` (pure function of (key, salt): stable
+    across runs/engines/partitionings, salt-rotatable), so the corpus pass
+    is a scan + broadcast probe, no shuffle of the data, no collect.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    w = F.lit(float(default_weight))
+    for s, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(w)
+    cw = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n")).withColumn("__w", w)
+    tots = cw.agg(F.sum("__n").alias("__N"), F.sum("__w").alias("__W"))
+    # tots derives from cw, so the cross join is a self-join: alias both
+    # sides to keep column resolution unambiguous
+    per = cw.alias("c").crossJoin(F.broadcast(tots).alias("t")).select(
+        F.col("c." + source_col).alias(source_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(fraction)
+            * F.col("t.__N").cast("double")
+            * F.col("c.__w")
+            / F.col("t.__W")
+            / F.col("c.__n").cast("double"),
+        ).alias("__f"),
+    )
+    draw = F.conv(hash_draw(key_col, salt), 16, 10).cast("double")
+    return (
+        df.join(F.broadcast(per), source_col)
+        .where(draw < F.col("__f") * F.lit(4294967296.0))
+        .drop("__f")
+    )

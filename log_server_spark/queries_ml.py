@@ -1129,6 +1129,42 @@ def _dedup_incremental_sql() -> str:
 SQL_DEDUP_INCREMENTAL = _dedup_incremental_sql()
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Weight-driven mixture resampling: keep ~40%% of the corpus with
+    src0/src1/src2 upweighted 3x against the rest — per-source fractions
+    derived in-plan from target weights and observed source sizes
+    (operators/sample.py:mixture_sample; broadcast probe, no data
+    shuffle, no collect)."""
+    from log_server_spark.operators.sample import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "source", "doc_id",
+        {"src0": 3.0, "src1": 3.0, "src2": 3.0}, 0.4, salt="mix0",
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+SQL_SAMPLE_MIXTURE = r"""
+WITH cw AS (
+  SELECT source, count(*) AS cnt,
+         CASE WHEN source IN ('src0', 'src1', 'src2')
+              THEN CAST(3.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM documents GROUP BY source
+), tots AS (SELECT sum(cnt) AS tot_n, sum(w) AS tot_w FROM cw),
+per AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE),
+               CAST(0.4 AS DOUBLE) * CAST(tot_n AS DOUBLE) * w / tot_w / CAST(cnt AS DOUBLE)) AS f
+  FROM cw, tots
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN per USING (source)
+WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix0'), 1, 8)) AS BIGINT) AS DOUBLE)
+      < f * 4294967296.0
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (concat-and-cut): every doc assigned to the
     2048-token training sequence where it starts, in 8 deterministic
@@ -1227,4 +1263,5 @@ REGISTRY_ML: dict[str, tuple] = {
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
 }

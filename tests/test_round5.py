@@ -533,3 +533,24 @@ def test_pack_sequences_concat_and_cut(spark):
     assert set(pdf.shard.unique()) <= {0, 1, 2, 3}
     for _, g in pdf.groupby("shard"):
         assert (g.sort_values(["seq", "begin_off"]).iloc[0][["seq", "begin_off"]] == 0).all()
+
+
+def test_mixture_sample_weights_and_clip(spark):
+    from log_server_spark.operators.sample import mixture_sample
+
+    # 300 bulk rows, 8 rare rows: weight rare 50x so its target (~29 rows)
+    # exceeds its size -> clips to keep-all; bulk absorbs its own fraction
+    rows = [(i, "bulk") for i in range(300)] + [(1000 + i, "rare") for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mixture_sample(df, "src", "id", {"rare": 50.0}, 0.1, salt="m1")
+    pdf = out.toPandas()
+    by = pdf.groupby("src").size().to_dict()
+    assert by.get("rare") == 8  # clipped at min(1, ...): keeps everything
+    # bulk keeps ~ 0.1*308*(1/51)/300 ... tiny fraction -> just require < rare share
+    assert by.get("bulk", 0) < 300 * 0.1
+    # deterministic across partitionings
+    again = mixture_sample(df.repartition(7), "src", "id", {"rare": 50.0}, 0.1, salt="m1")
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+    # the per-source frame joins by BROADCAST (no corpus shuffle)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
