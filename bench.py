@@ -360,7 +360,7 @@ def main() -> None:
             "url_normalize", "url_dedup", "domain_stats",
             "pagerank", "quality_classifier", "embedding_kmeans",
             "dedup_keep_best", "dedup_substring", "dedup_incremental",
-            "pack_sequences", "sample_mixture",
+            "pack_sequences", "sample_mixture", "perplexity_buckets",
         ):
             if name not in qs:
                 continue

@@ -1129,6 +1129,54 @@ def _dedup_incremental_sql() -> str:
 SQL_DEDUP_INCREMENTAL = _dedup_incremental_sql()
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split: per language, rank docs by
+    LM perplexity (low = clean/boilerplate-like, high = noise) and cut
+    into terciles. Ordering key is avg_logp rounded to 1e-4 with doc_id
+    as the tie-break, so bucket assignment is deterministic and engine-
+    portable (a raw-double order could flip near-equal neighbors across
+    engines). One window per language over the model-scored frame; cost
+    is dominated by the perplexity scoring it composes
+    (operators/lm.py:bigram_perplexity)."""
+    from pyspark.sql import Window as W
+
+    from .operators.lm import bigram_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    ppl = bigram_perplexity(docs, "doc_id", "text")
+    j = ppl.join(docs.select("doc_id", "lang"), "doc_id")
+    okey = F.round(F.col("avg_logp"), 4)
+    w = W.partitionBy("lang").orderBy(okey.desc(), F.col("doc_id").asc())
+    t = F.ntile(3).over(w)
+    return j.select(
+        "doc_id",
+        "lang",
+        F.round("ppl", 4).alias("ppl_r"),
+        F.when(t == 1, F.lit("head"))
+        .when(t == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def _perplexity_buckets_sql() -> str:
+    return (
+        "WITH p AS (\n"
+        + SQL_LM_PERPLEXITY.strip()
+        + """
+), ranked AS (
+  SELECT p.doc_id, d.lang, round(p.ppl, 4) AS ppl_r,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY p.avg_logp DESC, p.doc_id ASC) AS t
+  FROM p JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, ppl_r,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""
+    )
+
+
 def q_sample_mixture(spark, sf_dir):
     """Weight-driven mixture resampling: keep ~40%% of the corpus with
     src0/src1/src2 upweighted 3x against the rest — per-source fractions
@@ -1264,4 +1312,5 @@ REGISTRY_ML: dict[str, tuple] = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "sample_mixture": (q_sample_mixture, SQL_SAMPLE_MIXTURE),
+    "perplexity_buckets": (q_perplexity_buckets, _perplexity_buckets_sql()),
 }

@@ -554,3 +554,16 @@ def test_mixture_sample_weights_and_clip(spark):
     # the per-source frame joins by BROADCAST (no corpus shuffle)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_buckets_semantics(spark):
+    import __spark_entry__ as e
+
+    pdf = e.queries()["perplexity_buckets"](spark, "/root/testdata/sf0.001").toPandas()
+    for lang, g in pdf.groupby("lang"):
+        sizes = g.groupby("bucket").size()
+        # terciles: sizes within 1 of each other
+        assert sizes.max() - sizes.min() <= 1, (lang, dict(sizes))
+        # head = lowest-perplexity third
+        med = g.groupby("bucket").ppl_r.median()
+        assert med["head"] <= med["middle"] <= med["tail"], (lang, dict(med))
