@@ -361,6 +361,7 @@ def main() -> None:
             "pagerank", "quality_classifier", "embedding_kmeans",
             "dedup_keep_best", "dedup_substring", "dedup_incremental",
             "pack_sequences", "sample_mixture", "perplexity_buckets",
+            "snapshot_diff",
         ):
             if name not in qs:
                 continue

@@ -142,3 +142,38 @@ def pagerank(
             ).alias("pr"),
         )
     return ranks
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """Crawl-to-crawl delta report: (key, status) with status in
+    added / removed / changed / unchanged — the recrawl companion to
+    incremental dedup: it decides WHICH pages even enter the ingest DAG
+    (added + changed), so the per-snapshot cost is the delta's, not the
+    corpus's.
+
+    Scale shape: both sides reduce to (key, fingerprint) BEFORE the join —
+    16-byte md5 rows, never the page bytes — then ONE full-outer
+    sort-merge join on the key. With both snapshots stored bucketed by the
+    key (the records_keys discipline) the exchange disappears entirely;
+    otherwise it is one shuffle of two fingerprint tables. Output is
+    corpus-sized; downstream consumers filter to added/changed, which is
+    delta-sized.
+    """
+    o = old.select(F.col(key_col).alias("k"), F.col(fp_col).alias("fp_old"))
+    n = new.select(F.col(key_col).alias("k"), F.col(fp_col).alias("fp_new"))
+    return (
+        o.join(n, "k", "full_outer")
+        .select(
+            F.col("k").alias(key_col),
+            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            .when(F.col("fp_new").isNull(), F.lit("removed"))
+            .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )

@@ -408,6 +408,45 @@ SQL_QUALITY_CLASSIFIER = (
 SQL_DEDUP_KEEP_BEST = _dedup_keep_best_sql()
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-to-crawl delta report (operators/web.py:snapshot_diff): the
+    doc_id %% 11 == 0 slice plays pages new to this crawl, %% 13 == 0
+    pages that vanished, %% 7 == 0 pages whose content changed ('rev2'
+    suffix) — every url labeled added / removed / changed / unchanged by
+    fingerprint compare, the gate that keeps recrawl ingest delta-sized."""
+    from log_server_spark.operators.web import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    fp_old = F.md5(F.encode(F.col("text"), "UTF-8"))
+    old = docs.where(F.col("doc_id") % 11 != 0).select("doc_id", fp_old.alias("fp"))
+    newt = (
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2")))
+        .otherwise(F.col("text"))
+    )
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id", F.md5(F.encode(newt, "UTF-8")).alias("fp")
+    )
+    return snapshot_diff(old, new, "doc_id", "fp").orderBy("doc_id")
+
+
+SQL_SNAPSHOT_DIFF = r"""
+WITH o AS (
+  SELECT doc_id, md5(text) AS fp_old FROM documents WHERE doc_id % 11 <> 0
+), n AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS fp_new
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN fp_old = fp_new THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
 REGISTRY_WEB: dict[str, tuple] = {
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
@@ -415,4 +454,5 @@ REGISTRY_WEB: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }

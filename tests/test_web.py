@@ -111,3 +111,16 @@ def test_pagerank_favors_in_link_hubs(spark):
     assert ranks[0] > 5 * ranks[1]
     leaf_vals = [ranks[i] for i in range(1, n)]
     assert max(leaf_vals) == pytest.approx(min(leaf_vals), rel=1e-12)
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    from log_server_spark.operators.web import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "url long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "url long, fp string"
+    )
+    out = {r["url"]: r["status"] for r in snapshot_diff(old, new, "url", "fp").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
