@@ -219,7 +219,6 @@ def minhash_lsh_pairs(
             "threshold must be > 0: zero-overlap candidate pairs are not "
             "emitted (see contract in docstring)"
         )
-    rows_per_band = num_hashes // bands
     # ONE shingle explode, period (round 5): a single groupBy computes the
     # k minima, the distinct-shingle count, AND the doc's shingle-hash set
     # (collect_list of xxhash64 — per-doc shingles are distinct). The
@@ -233,6 +232,28 @@ def minhash_lsh_pairs(
     # At the 100 TB point this cache is O(docs x num_shingle_hashes) longs
     # — MEMORY_AND_DISK spills it rather than recomputing two extra corpus
     # passes, the same trade a materialized intermediate table would make.
+    sig = minhash_signature_frame(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n, base=base
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return minhash_lsh_pairs_from_signatures(
+        sig, bands=bands, threshold=threshold, delta_ids=delta_ids
+    )
+
+
+def minhash_signature_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    base: str = "xxhash64",
+) -> DataFrame:
+    """The (id, mh_0..mh_{k-1}, sz, shs) signature aggregate that
+    :func:`minhash_lsh_pairs_from_signatures` consumes: k minima, the
+    distinct-shingle count, and the doc's shingle-hash set, from ONE
+    shingle explode. This is the frame a stored-signatures lifecycle
+    writes per ingested batch (partitioned/bucketed like records_keys) so
+    later dedup runs never re-explode the committed corpus."""
     sh = _shingle_frame(df, id_col, text_col, shingle_n).withColumn(
         "b", _base_hash_mod_p(F.col("shingle"), base)
     )
@@ -240,11 +261,39 @@ def minhash_lsh_pairs(
         F.min(F.pmod(F.lit(a) * F.col("b") + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    sig = sh.groupBy("id").agg(
+    return sh.groupBy("id").agg(
         *aggs,
         F.count("*").alias("sz"),
         F.collect_list(F.xxhash64("shingle")).alias("shs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def minhash_lsh_pairs_from_signatures(
+    sig: DataFrame,
+    bands: int = 4,
+    threshold: float = 0.5,
+    delta_ids: DataFrame | None = None,
+) -> DataFrame:
+    """The band-join + exact-verify stage of :func:`minhash_lsh_pairs`,
+    decoupled from signature building — the STORED-SIGNATURES lifecycle at
+    scale: signatures are written once per ingested batch (the same
+    discipline as records_keys), and every later dedup run — full or
+    incremental (``delta_ids``) — starts here, never re-exploding the
+    committed corpus's shingles. ``sig`` needs columns
+    (id, mh_0..mh_{k-1}, sz, shs) exactly as the signature aggregate in
+    :func:`minhash_lsh_pairs` produces them (num_hashes is inferred from
+    the mh_* columns); persisting/storing the frame is the caller's call —
+    a table read is already materialized.
+    """
+    if threshold <= 0.0:
+        raise ValueError(
+            "threshold must be > 0: zero-overlap candidate pairs are not "
+            "emitted (see minhash_lsh_pairs contract)"
+        )
+    num_hashes = sum(1 for c in sig.columns if c.startswith("mh_"))
+    if num_hashes == 0 or num_hashes % bands != 0:
+        raise ValueError(f"{num_hashes} mh_* columns not divisible into {bands} bands")
+    rows_per_band = num_hashes // bands
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),

@@ -567,3 +567,47 @@ def test_perplexity_buckets_semantics(spark):
         # head = lowest-perplexity third
         med = g.groupby("bucket").ppl_r.median()
         assert med["head"] <= med["middle"] <= med["tail"], (lang, dict(med))
+
+
+def test_lsh_pairs_from_stored_signatures(spark, tmp_path):
+    """The stored-signatures lifecycle: signatures written to parquet by
+    minhash_signature_frame, read back, and fed to
+    minhash_lsh_pairs_from_signatures must reproduce minhash_lsh_pairs
+    exactly — full and incremental."""
+    from log_server_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_signatures,
+        minhash_signature_frame,
+    )
+    from log_server_spark.queries_ml import _t
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    direct = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5, base="md5"
+    ).toPandas()
+
+    p = str(tmp_path / "sigs")
+    minhash_signature_frame(docs, "doc_id", "text", 16, 3, "md5").write.parquet(p)
+    sig = spark.read.parquet(p)
+    stored = minhash_lsh_pairs_from_signatures(sig, bands=8, threshold=0.5).toPandas()
+    assert set(map(tuple, direct.values.tolist())) == set(
+        map(tuple, stored.values.tolist())
+    )
+
+    delta = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    inc_direct = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5,
+        base="md5", delta_ids=delta,
+    ).toPandas()
+    inc_stored = minhash_lsh_pairs_from_signatures(
+        sig, bands=8, threshold=0.5, delta_ids=delta
+    ).toPandas()
+    assert set(map(tuple, inc_direct.values.tolist())) == set(
+        map(tuple, inc_stored.values.tolist())
+    )
+    # contract errors
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs_from_signatures(sig, bands=7)
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs_from_signatures(sig, bands=8, threshold=0.0)
