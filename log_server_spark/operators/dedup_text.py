@@ -214,11 +214,8 @@ def minhash_lsh_pairs(
     lifecycle as records_keys) instead of the recompute this
     reference-twin form does; the band join and verify are unchanged.
     """
-    if threshold <= 0.0:
-        raise ValueError(
-            "threshold must be > 0: zero-overlap candidate pairs are not "
-            "emitted (see contract in docstring)"
-        )
+    # threshold validation lives in minhash_lsh_pairs_from_signatures (the
+    # delegate raises synchronously, before any job runs)
     # ONE shingle explode, period (round 5): a single groupBy computes the
     # k minima, the distinct-shingle count, AND the doc's shingle-hash set
     # (collect_list of xxhash64 — per-doc shingles are distinct). The
@@ -290,6 +287,8 @@ def minhash_lsh_pairs_from_signatures(
             "threshold must be > 0: zero-overlap candidate pairs are not "
             "emitted (see minhash_lsh_pairs contract)"
         )
+    if bands <= 0:
+        raise ValueError(f"bands must be positive, got {bands}")
     num_hashes = sum(1 for c in sig.columns if c.startswith("mh_"))
     if num_hashes == 0 or num_hashes % bands != 0:
         raise ValueError(f"{num_hashes} mh_* columns not divisible into {bands} bands")

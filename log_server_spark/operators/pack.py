@@ -58,9 +58,12 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum("__tok").over(w), F.lit(0))
-    return d.select(
+    # 64-bit integer division (`div`), not floor(double /): a shard's
+    # running token total can exceed 2^53, where double division rounds
+    # and floor could disagree with the exact pmod offset
+    return d.withColumn("__cum", cum).select(
         id_col,
         "shard",
-        F.floor(cum / F.lit(budget)).cast("long").alias("seq"),
-        F.pmod(cum, F.lit(budget)).cast("long").alias("begin_off"),
+        F.expr(f"__cum div {int(budget)}").cast("long").alias("seq"),
+        F.pmod(F.col("__cum"), F.lit(budget)).cast("long").alias("begin_off"),
     )

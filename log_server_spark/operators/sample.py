@@ -143,8 +143,13 @@ def mixture_sample(
         ).alias("__f"),
     )
     draw = F.conv(hash_draw(key_col, salt), 16, 10).cast("double")
+    # NULL-safe equi-join: groupBy puts NULL sources in their own group
+    # (counted in __N/__W), so the probe must reach them too — a plain
+    # equi-join would silently drop NULL-source rows while their counts
+    # still deflate every other source's fraction
+    p = F.broadcast(per.withColumnRenamed(source_col, "__src"))
     return (
-        df.join(F.broadcast(per), source_col)
+        df.join(p, F.col(source_col).eqNullSafe(F.col("__src")))
         .where(draw < F.col("__f") * F.lit(4294967296.0))
-        .drop("__f")
+        .drop("__f", "__src")
     )

@@ -164,15 +164,26 @@ def snapshot_diff(
     corpus-sized; downstream consumers filter to added/changed, which is
     delta-sized.
     """
-    o = old.select(F.col(key_col).alias("k"), F.col(fp_col).alias("fp_old"))
-    n = new.select(F.col(key_col).alias("k"), F.col(fp_col).alias("fp_new"))
+    # presence is keyed on an explicit marker, NOT on fingerprint nullness:
+    # a NULL fingerprint (e.g. NULL text) must read as "present" or the
+    # row would be misclassified added/removed
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.col(fp_col).alias("fp_old"),
+        F.lit(True).alias("in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.col(fp_col).alias("fp_new"),
+        F.lit(True).alias("in_new"),
+    )
     return (
         o.join(n, "k", "full_outer")
         .select(
             F.col("k").alias(key_col),
-            F.when(F.col("fp_old").isNull(), F.lit("added"))
-            .when(F.col("fp_new").isNull(), F.lit("removed"))
-            .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+            F.when(F.col("in_old").isNull(), F.lit("added"))
+            .when(F.col("in_new").isNull(), F.lit("removed"))
+            .when(F.col("fp_old").eqNullSafe(F.col("fp_new")), F.lit("unchanged"))
             .otherwise(F.lit("changed"))
             .alias("status"),
         )

@@ -1132,26 +1132,25 @@ SQL_DEDUP_INCREMENTAL = _dedup_incremental_sql()
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet's head/middle/tail corpus split: per language, rank docs by
     LM perplexity (low = clean/boilerplate-like, high = noise) and cut
-    into terciles. Ordering key is avg_logp rounded to 1e-4 with doc_id
-    as the tie-break, so bucket assignment is deterministic and engine-
-    portable (a raw-double order could flip near-equal neighbors across
-    engines). One window per language over the model-scored frame; cost
-    is dominated by the perplexity scoring it composes
-    (operators/lm.py:bigram_perplexity)."""
-    from pyspark.sql import Window as W
-
+    into terciles. The ordering key is avg_logp — ALREADY rounded to 1e-4
+    by bigram_perplexity — with doc_id as the tie-break, so bucket
+    assignment is deterministic and engine-portable (a raw-double order
+    could flip near-equal neighbors across engines). One window per
+    language over the model-scored frame; cost is dominated by the
+    perplexity scoring it composes (operators/lm.py:bigram_perplexity)."""
     from .operators.lm import bigram_perplexity
 
     docs = _t(spark, sf_dir, "documents")
     ppl = bigram_perplexity(docs, "doc_id", "text")
     j = ppl.join(docs.select("doc_id", "lang"), "doc_id")
-    okey = F.round(F.col("avg_logp"), 4)
-    w = W.partitionBy("lang").orderBy(okey.desc(), F.col("doc_id").asc())
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp").desc(), F.col("doc_id").asc()
+    )
     t = F.ntile(3).over(w)
     return j.select(
         "doc_id",
         "lang",
-        F.round("ppl", 4).alias("ppl_r"),
+        F.col("ppl").alias("ppl_r"),
         F.when(t == 1, F.lit("head"))
         .when(t == 2, F.lit("middle"))
         .otherwise(F.lit("tail"))

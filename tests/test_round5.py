@@ -611,3 +611,14 @@ def test_lsh_pairs_from_stored_signatures(spark, tmp_path):
         minhash_lsh_pairs_from_signatures(sig, bands=7)
     with pytest.raises(ValueError):
         minhash_lsh_pairs_from_signatures(sig, bands=8, threshold=0.0)
+
+
+def test_mixture_sample_null_source_group_reachable(spark):
+    from log_server_spark.operators.sample import mixture_sample
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mixture_sample(df, "src", "id", {"a": 1.0}, 1.0, salt="n1").toPandas()
+    # fraction=1.0: every row keepable, INCLUDING the NULL-source group —
+    # a plain equi-join would silently drop all 40 NULL rows
+    assert len(out) == 80

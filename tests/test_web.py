@@ -124,3 +124,17 @@ def test_snapshot_diff_all_four_statuses(spark):
     )
     out = {r["url"]: r["status"] for r in snapshot_diff(old, new, "url", "fp").collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_fingerprints_key_on_presence(spark):
+    from log_server_spark.operators.web import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "c")], "url long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None), (4, None)], "url long, fp string"
+    )
+    out = {r["url"]: r["status"] for r in snapshot_diff(old, new, "url", "fp").collect()}
+    # NULL fingerprints never read as absence; NULL==NULL is unchanged
+    assert out == {1: "changed", 2: "unchanged", 3: "removed", 4: "added"}
