@@ -443,22 +443,33 @@ def kmeans_assign(
         .limit(k)
         .select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
     )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     assigned = None
     for it in range(iters):
+        last = it == iters - 1
         scored = v.join(F.broadcast(cent)).withColumn(
             "d", _sqdist(F.col("v"), F.col("cv"))
         )
+        # the winner struct carries the vector only when a centroid update
+        # will consume it — the FINAL round's exchange would otherwise ship
+        # O(N*d) doubles it never reads
+        winner = (
+            F.struct(F.col("cid"), F.col("d"))
+            if last
+            else F.struct(F.col("cid"), F.col("v"), F.col("d"))
+        )
         assigned = (
             scored.groupBy("vid")
-            .agg(
-                F.min_by(
-                    F.struct(F.col("cid"), F.col("v"), F.col("d")),
-                    F.struct(F.col("d"), F.col("cid")),
-                ).alias("w")
+            .agg(F.min_by(winner, F.struct(F.col("d"), F.col("cid"))).alias("w"))
+            .select(
+                "vid",
+                F.col("w.cid").alias("cid"),
+                *([] if last else [F.col("w.v").alias("v")]),
+                F.col("w.d").alias("d"),
             )
-            .select("vid", F.col("w.cid").alias("cid"), F.col("w.v").alias("v"), F.col("w.d").alias("d"))
         )
-        if it == iters - 1:
+        if last:
             break
         cent = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))

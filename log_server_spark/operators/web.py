@@ -51,11 +51,15 @@ def normalize_url(col) -> Column:
     1. strip the fragment (``#...``)
     2. lowercase the scheme://authority head (path/query case preserved)
     3. strip default ports (``http...:80``, ``https...:443``)
-    4. strip a leading ``www.`` host label
+    4. strip a leading ``www.`` host label — only when at least two labels
+       remain (``www.com`` IS the registrable domain of a real site; a
+       bare-host strip would destroy it)
     5. drop tracking params (``utm_*``, ``fbclid``, ``gclid``), keeping
        the remaining query string intact
-    6. strip trailing slashes on the path (also just before ``?``) and a
-       dangling lone ``?``
+    6. strip trailing slashes on the PATH (also just before ``?``) and a
+       dangling lone ``?`` — anchored so slashes inside query-string
+       VALUES (``?next=/home/``) are never touched: two URLs differing
+       inside a query value are different resources
     """
     u = _c(col)
     # 1. fragment
@@ -68,16 +72,19 @@ def normalize_url(col) -> Column:
     # an unmatched optional group substitutes as empty in both dialects)
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2")
-    # 4. www.
-    u = F.regexp_replace(u, r"^(https?://)www\.", r"$1")
+    # 4. www. — the captured tail requires a further dot, so a two-label
+    # host (www.com) keeps its www (RE2-safe: capture, not lookahead)
+    u = F.regexp_replace(u, r"^(https?://)www\.([^/?#.]*\.)", r"$1$2")
     # 5. tracking params: interior `&p=v` first, then a leading `?p=v&`,
     # then a query that is nothing but tracking params
     u = F.regexp_replace(u, r"&" + TRACKING_PARAM_RE + r"=[^&]*", "")
     u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"=[^&]*&", "?")
     u = F.regexp_replace(u, r"\?" + TRACKING_PARAM_RE + r"=[^&]*$", "")
-    # 6. trailing slashes and a dangling '?'
-    u = F.regexp_replace(u, r"/+\?", "?")
-    u = F.regexp_replace(u, r"/+$", "")
+    # 6. trailing slashes and a dangling '?' — both anchored through a
+    # lazy [^?]*? prefix so only PATH slashes (before the first '?') are
+    # stripped, never slashes inside a query value
+    u = F.regexp_replace(u, r"^([^?]*?)/+\?", r"$1?")
+    u = F.regexp_replace(u, r"^([^?]*?)/+$", r"$1")
     u = F.regexp_replace(u, r"\?$", "")
     return u
 
@@ -89,7 +96,10 @@ def host_of(col) -> Column:
 
 def registrable_domain(col) -> Column:
     """Registrable domain of a (normalized) URL: last two host labels, or
-    last three when the host ends in a known two-level public suffix."""
+    last three when the host ends in a known two-level public suffix; a
+    single-label host (``localhost``, an intranet name) is its own domain
+    — the previous silent '' would have pooled all such pages into one
+    empty-string group in the skew profile."""
     host = host_of(col)
     two_level = "|".join(s.replace(".", r"\.") for s in TWO_LEVEL_SUFFIXES)
     return (
@@ -97,7 +107,8 @@ def registrable_domain(col) -> Column:
             host.rlike(r"\.(" + two_level + r")$"),
             F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1),
         )
-        .otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+        .when(host.rlike(r"\."), F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+        .otherwise(host)
     )
 
 
@@ -106,25 +117,31 @@ def pagerank(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """PageRank over ``edges(src, dst)`` for the node set ``nodes(node)``.
 
     Textbook power iteration as join + groupBy: per iteration one shuffle
     keyed on ``dst`` (the contribution aggregate) and a left join back onto
-    the node set (so sinks with no in-links keep the teleport mass).
-    Contributions divide by the src's out-degree; edges whose ``dst`` is
-    not in ``nodes`` leak their mass (both are the standard convention and
-    are what the unrolled SQL oracle computes).
+    the node set (so sinks with no in-links receive the teleport term).
+    Contributions divide by the src's out-degree. Mass-conservation
+    caveats, both the standard simple-power-iteration convention and
+    exactly what the unrolled SQL oracle computes: a DANGLING node (no
+    out-edges) drops its rank mass each iteration rather than
+    redistributing it, and edges whose ``dst`` is not in ``nodes`` leak
+    theirs — so ranks sum to < 1 on graphs with dangling nodes and
+    ``pr * N`` has mean <= 1.0, not exactly 1.
 
     Scale shape: rank state is O(|nodes|), the per-iteration cost is one
     shuffle of O(|edges|) contributions — no collect, no broadcast of the
-    graph. ``nodes.count()`` is the one driver-side scalar (a count
-    aggregate, cheap at any scale). For iters beyond ~10 the caller should
-    checkpoint the rank frame (see dedup_text.components_from_pairs for the
-    same pattern); at the 3-5 iterations typical for corpus weighting the
-    plan stays shallow enough that lineage growth is a non-issue.
+    graph. ``nodes.count()`` is the one driver-side scalar (pass
+    ``n_nodes`` to skip it when the caller already knows the count). For
+    iters beyond ~10 the caller should checkpoint the rank frame (see
+    dedup_text.components_from_pairs for the same pattern); at the 3-5
+    iterations typical for corpus weighting the plan stays shallow enough
+    that lineage growth is a non-issue.
     """
-    n = nodes.count()
+    n = n_nodes if n_nodes is not None else nodes.count()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges_w = edges.join(deg, "src").select("src", "dst", "outdeg")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))

@@ -723,10 +723,13 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
-def _dedup_clusters_sql() -> str:
+def _closure_ctes() -> str:
+    """The LSH-pairs -> undirected-edges -> recursive-walk closure CTE
+    prefix — the ONE definition shared by dedup_clusters and
+    dedup_keep_best (queries_web), so a fix to the closure semantics or
+    the LSH parameters can never leave the two oracles disagreeing."""
     pairs_sql = _minhash_lsh_sql().strip()
-    return f"""
-WITH RECURSIVE pairs AS (
+    return f"""pairs AS (
 {pairs_sql}
 ),
 edges AS (
@@ -738,10 +741,18 @@ walk(doc_id, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
-)
+)"""
+
+
+def _dedup_clusters_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _closure_ctes()
+        + """
 SELECT doc_id, min(lbl) AS keeper_id, (min(lbl) <> doc_id) AS is_dup
 FROM walk GROUP BY doc_id
 """
+    )
 
 
 SQL_DEDUP_CLUSTERS = _dedup_clusters_sql()

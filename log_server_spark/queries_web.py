@@ -16,7 +16,7 @@ two knob sets:
   duplicates; canonicalization (operators/web.py:normalize_url) collapses
   them — exactly the property ``url_dedup`` demonstrates.
 
-Host ids are skewed zipf-ishly (K = floor(sqrt(pid % 37**2)) puts ~5% of
+Host ids are skewed zipf-ishly (K = floor(sqrt(pid)) puts ~9% of
 the corpus on the hottest domain) so ``domain_stats`` exercises the
 heavy-hitter detection that feeds the pipeline's salt sizing.
 """
@@ -50,7 +50,9 @@ def synth_urls(docs: DataFrame) -> DataFrame:
     documented in the module docstring."""
     did = F.col("doc_id")
     pid = did % 450
-    k = F.floor(F.sqrt((pid % 1369).cast("double"))).cast("long")
+    # pid < 450, so no modulus needed — keep the formula textually
+    # identical to the SQL twin (floor(sqrt(pid)))
+    k = F.floor(F.sqrt(pid.cast("double"))).cast("long")
     tld = (
         F.when(k % 4 == 0, _TLDS[0])
         .when(k % 4 == 1, _TLDS[1])
@@ -134,12 +136,12 @@ _SQL_NORM = r"""
           || substr(u1, length(regexp_extract(u1, '^[^/?#]*//[^/?#]*')) + 1),
         '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2', 'g'),
         '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),
-        '^(https?://)www\.', '\1', 'g'),
+        '^(https?://)www\.([^/?#.]*\.)', '\1\2', 'g'),
         '&(?:utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g'),
         '\?(?:utm_[^=&]*|fbclid|gclid)=[^&]*&', '?', 'g'),
         '\?(?:utm_[^=&]*|fbclid|gclid)=[^&]*$', '', 'g'),
-        '/+\?', '?', 'g'),
-        '/+$', '', 'g'),
+        '^([^?]*?)/+\?', '\1?', 'g'),
+        '^([^?]*?)/+$', '\1', 'g'),
         '\?$', '', 'g')
 """
 
@@ -154,7 +156,9 @@ _SQL_NORMALIZED = rf"""
 _SQL_DOMAIN = r"""
     CASE WHEN regexp_matches(host, '\.(co\.uk|com\.au|co\.jp)$')
          THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
-         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END
+         WHEN regexp_matches(host, '\.')
+         THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+         ELSE host END
 """
 
 _SQL_WITH_DOMAIN = rf"""
@@ -242,8 +246,10 @@ FROM (
 
 def q_pagerank(spark, sf_dir):
     """3-iteration PageRank (d=0.85) over a deterministic synthetic link
-    graph: doc i links to (17*i + 31*k + 7) mod N for k in 0..2. Emitted
-    rank is normalized to mean 1.0 (pr * N) — scale-independent rounding."""
+    graph: doc i links to (17*i + 31*k + 7) mod N for k in 0..2 (every
+    node has out-degree 3, so no dangling-mass loss here — see the
+    operator docstring for that caveat). Emitted rank is pr * N —
+    scale-independent rounding, mean 1.0 on this dangling-free graph."""
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
     nodes = docs.select(F.col("doc_id").alias("node"))
@@ -254,7 +260,7 @@ def q_pagerank(spark, sf_dir):
             F.array(*[(did * 17 + F.lit(31 * k + 7)) % n for k in (0, 1, 2)])
         ).alias("dst"),
     )
-    ranks = pagerank(nodes, edges, iters=3, damping=0.85)
+    ranks = pagerank(nodes, edges, iters=3, damping=0.85, n_nodes=n)
     return ranks.select(
         F.col("node").alias("doc_id"),
         F.round(F.col("pr") * n, 4).alias("pr_norm"),
@@ -322,23 +328,15 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 def _dedup_keep_best_sql() -> str:
-    from log_server_spark.queries_ml import _minhash_lsh_sql
+    # the pairs/edges/walk closure comes from queries_ml._closure_ctes —
+    # the single shared definition, so this oracle and dedup_clusters
+    # can never drift apart
+    from log_server_spark.queries_ml import _closure_ctes
 
-    pairs_sql = _minhash_lsh_sql().strip()
-    return f"""
-WITH RECURSIVE pairs AS (
-{pairs_sql}
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM pairs
-),
-walk(doc_id, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
-),
+    return (
+        "WITH RECURSIVE "
+        + _closure_ctes()
+        + f""",
 clus AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id),
 {_SQL_QC_CTES}
 SELECT c.doc_id, c.cluster_id, s.q_score,
@@ -346,6 +344,7 @@ SELECT c.doc_id, c.cluster_id, s.q_score,
                            ORDER BY s.q_score DESC, c.doc_id) = 1) AS keep
 FROM clus c JOIN scored s ON s.doc_id = c.doc_id
 """
+    )
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -371,7 +370,16 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
-_SQL_QC_CTES = r"""feats AS (
+# stopword IN-list derived from the same STOPWORDS_EN that
+# quality_features uses on the Spark side (via queries_ml._SW) — a
+# hardcoded copy here silently diverged if the list ever changed
+def _sw_sql() -> str:
+    from log_server_spark.queries_ml import _SW
+
+    return _SW
+
+
+_SQL_QC_CTES = rf"""feats AS (
   SELECT doc_id,
     CASE WHEN length(trim(text)) = 0 THEN 0
          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
@@ -379,7 +387,7 @@ _SQL_QC_CTES = r"""feats AS (
     round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / nullif(length(text), 0)::DOUBLE, 4) AS digit_ratio,
     round((length(text) - length(regexp_replace(text, '\s', '', 'g'))) / nullif(length(text), 0)::DOUBLE, 4) AS space_ratio,
     round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-                          x -> x IN ('the','a','and','of','to','in','is','it','that','for')))
+                          x -> x IN ({_sw_sql()})))
           / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0)::DOUBLE, 4) AS stopword_ratio,
     round(length(regexp_replace(text, '\s', '', 'g'))

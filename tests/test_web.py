@@ -138,3 +138,39 @@ def test_snapshot_diff_null_fingerprints_key_on_presence(spark):
     out = {r["url"]: r["status"] for r in snapshot_diff(old, new, "url", "fp").collect()}
     # NULL fingerprints never read as absence; NULL==NULL is unchanged
     assert out == {1: "changed", 2: "unchanged", 3: "removed", 4: "added"}
+
+
+def test_normalize_url_query_value_slashes_preserved(spark):
+    from log_server_spark.operators.web import normalize_url, registrable_domain
+
+    rows = [
+        # trailing slash inside a query VALUE is content, not path junk
+        ("https://a.com/x?next=/home/", "https://a.com/x?next=/home/"),
+        # interior '/?' inside a query value must not be rewritten
+        ("https://a.com/r?u=https://b.com/?x=1", "https://a.com/r?u=https://b.com/?x=1"),
+        # path slashes before the query ARE stripped
+        ("https://a.com/x/?y=1", "https://a.com/x?y=1"),
+        ("https://a.com/x///", "https://a.com/x"),
+        # www strip keeps two-label hosts intact (www.com is a real domain)
+        ("https://www.com/x", "https://www.com/x"),
+        ("https://www.example.com/x", "https://example.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "url string, want string")
+    out = df.select("url", "want", normalize_url("url").alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["want"], (r["url"], r["got"], r["want"])
+    # single-label hosts are their own registrable domain, never ''
+    doms = spark.createDataFrame(
+        [("http://localhost/x",), ("https://www.com/a",)], "u string"
+    ).select(registrable_domain("u").alias("d")).collect()
+    assert [r["d"] for r in doms] == ["localhost", "www.com"]
+
+
+def test_kmeans_iters_zero_raises(spark):
+    import pytest as _pytest
+
+    from log_server_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="iters"):
+        kmeans_assign(df, k=1, iters=0)
