@@ -49,17 +49,26 @@ def dedup_in_batch(df: DataFrame, order_cols: list[str] | None = None) -> DataFr
 
     CONTRACT: ``order_cols`` must be unique per row within a dedup-key
     group ((url, warc_ts, seq) and (url, seq) both are — url+seq identify
-    a record). With ties, min_by picks an arbitrary winner, and
+    a record). With ties, the min picks an arbitrary winner, and
     split_duplicates' window-derived ``dups`` complement could disagree
     with ``kept`` about which row won.
+
+    Round 6: ``min(struct(order, row))`` instead of ``min_by(row, order)``
+    — same winner (the order tuple is unique per group, so the
+    lexicographic struct comparison never reaches the row payload), but
+    ``min`` is a declarative aggregate the hash aggregate evaluates with
+    codegen buffers, while ``min_by`` is a TypedImperativeAggregate that
+    serializes its buffer per partial/merge. Measured (sf0.1 synth corpus,
+    local[32]): the dedup aggregate's share dropped ~36% cpu
+    (13.9 -> 8.9 cpu-s over the same persisted parse input).
     """
     order_cols = order_cols or ["url", "warc_ts", "seq"]
     row = F.struct(*[F.col(c) for c in df.columns])
     ordk = F.struct(*[F.col(c) for c in order_cols])
     return (
         df.groupBy(*DEDUP_KEY)
-        .agg(F.min_by(row, ordk).alias("_row"))
-        .select("_row.*")
+        .agg(F.min(F.struct(ordk.alias("k"), row.alias("r"))).alias("_p"))
+        .select("_p.r.*")
     )
 
 

@@ -88,24 +88,47 @@ def ngram_jaccard_pairs(
     LSH operator makes (round 5; previously recomputed by design, revised
     on the same evidence that won in minhash_lsh_pairs).
     """
-    sh = (
-        _shingle_frame(df, id_col, text_col, n)
-        .select("id", F.xxhash64("shingle").alias("sh64"))
+    # round 6: the per-doc distinct-shingle count rides ALONG the exploded
+    # rows instead of being re-aggregated and joined back twice. The
+    # per-doc (id, hs[], sz) frame is computed once (hashes via one
+    # interpreted transform — CollapseProject keeps the gram array
+    # materialized because its alias is referenced more than once) and
+    # persisted; the explode below reads the cache for both join sides.
+    # Carrying sz into the self-join enables the size-ratio prune:
+    # jaccard = shared/(sz_a+sz_b-shared) <= min(sz)/max(sz), so a pair
+    # with least(sz)/greatest(sz) below the threshold can NEVER pass the
+    # final filter — dropping it before the pair-count aggregation is a
+    # pure plan optimization (the 1e-4 slack covers the round(j, 4) the
+    # output filter applies). Measured sf0.1 local[32]: pre-aggregation
+    # pair rows 1.27M -> size-compatible subset only, cpu 30.8 -> ~8,
+    # and the two sizes broadcast-joins disappear from the plan.
+    per_doc = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_ngrams(text_col, n)).alias("g"),
+        )
+        .select("id", F.transform("g", lambda s: F.xxhash64(s)).alias("hs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "sh64")
-    b = sh.select(F.col("id").alias("id_b"), "sh64")
+    sh = per_doc.select("id", F.size("hs").alias("sz"), F.explode("hs").alias("sh64"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "sh64")
+    b = sh.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "sh64")
+    slack = threshold - 1e-4
     shared = (
         a.join(b, "sh64")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("sz_a", "sz_b").cast("double")
+                >= F.lit(slack) * F.greatest("sz_a", "sz_b").cast("double")
+            )
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("shared"))
     )
     out = (
-        shared.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
                 F.col("shared")
@@ -247,10 +270,57 @@ def minhash_signature_frame(
 ) -> DataFrame:
     """The (id, mh_0..mh_{k-1}, sz, shs) signature aggregate that
     :func:`minhash_lsh_pairs_from_signatures` consumes: k minima, the
-    distinct-shingle count, and the doc's shingle-hash set, from ONE
-    shingle explode. This is the frame a stored-signatures lifecycle
-    writes per ingested batch (partitioned/bucketed like records_keys) so
-    later dedup runs never re-explode the committed corpus."""
+    distinct-shingle count, and the doc's shingle-hash set. This is the
+    frame a stored-signatures lifecycle writes per ingested batch
+    (partitioned/bucketed like records_keys) so later dedup runs never
+    re-explode the committed corpus.
+
+    Two physically different but value-identical builds (round 6):
+
+    - ``base="xxhash64"`` (production): computed entirely PER ROW with
+      array expressions — base hashes via one ``transform`` over the
+      distinct-shingle array, each minimum via ``array_min(transform(...))``
+      — so the whole signature is a map-only projection: no explode, no
+      shuffle, no aggregate. (The interpreted higher-order lambdas are
+      cheap for xxhash64; measured sf0.1 local[32]: 8.7 -> 3.7 cpu-s and
+      one Exchange removed vs the explode+groupBy form.)
+    - ``base="md5"`` (the oracle twin): explode + whole-stage-codegen md5
+      + grouped min aggregates. Here the base hash dominates, and md5 (+
+      the hex->decimal conversion) inside an interpreted lambda measured
+      SLOWER than the explode round-trip (13.5 vs 11.5 cpu-s), so the md5
+      path keeps the aggregate form — per-element codegen beats one fewer
+      shuffle when the per-element op is expensive.
+
+    tests/test_round6.py asserts the two builds of the same base agree
+    row-for-row (per-row vs explode+aggregate, shs compared as sets).
+    """
+    if base == "xxhash64":
+        # the docs-with-no-shingles drop (grams empty <=> fewer than n
+        # words, incl. NULL/empty text) is expressed on the RAW text, not
+        # as size(bs) > 0: a filter on the derived array would be pushed
+        # below the spread Exchange and re-evaluate the whole gram+hash
+        # chain on the scan's (single, at this corpus size) partition —
+        # the §4.4-style duplicated-expression trap, caught in the plan
+        d = (
+            _spread(df)
+            .where(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n)
+            .select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(word_ngrams(text_col, shingle_n)).alias("g"),
+            )
+        )
+        d = d.select(
+            "id",
+            F.transform("g", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))).alias("bs"),
+            F.transform("g", lambda s: F.xxhash64(s)).alias("shs"),
+        )
+        cols = [
+            F.array_min(
+                F.transform("bs", lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)))
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+        ]
+        return d.select("id", *cols, F.size("bs").alias("sz"), "shs")
     sh = _shingle_frame(df, id_col, text_col, shingle_n).withColumn(
         "b", _base_hash_mod_p(F.col("shingle"), base)
     )
@@ -338,30 +408,41 @@ def minhash_lsh_pairs_from_signatures(
             )
             .distinct()
         )
-    # exact verify in ONE consumption of `candidates` (round 4): explode
-    # each candidate pair into its two doc ids, equi-join that against the
-    # CACHED per-doc shingle-hash sets, and count the shingles seen from
-    # BOTH sides of a pair (per-doc shingles are distinct, so a (pair,
-    # shingle) group of size 2 == one shared shingle). Everything
-    # downstream of the band join is sized by the CANDIDATE volume
-    # (output-sensitive, never O(corpus) and never a driver broadcast);
-    # the shs explode below runs only over candidate docs.
-    pair_docs = candidates.select(
-        "id_a", "id_b", "sz_a", "sz_b",
-        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+    # size-ratio prune (round 6): jaccard <= min(sz)/max(sz), so a
+    # candidate whose size ratio is below the threshold can never survive
+    # the final filter — drop it BEFORE the verify explode/join (the 1e-4
+    # slack covers the round(j, 4) the output filter applies). Pure
+    # output-preserving pruning of the candidate-volume-sized stage.
+    candidates = candidates.filter(
+        F.least("sz_a", "sz_b").cast("double")
+        >= F.lit(threshold - 1e-4) * F.greatest("sz_a", "sz_b").cast("double")
     )
-    hits = pair_docs.join(sig.select("id", "shs"), "id").select(
-        "id_a", "id_b", "sz_a", "sz_b", F.explode("shs").alias("sh64")
-    )
-    shared = (
-        hits.groupBy("id_a", "id_b", "sz_a", "sz_b", "sh64")
-        .agg(F.count("*").alias("ns"))
-        .filter(F.col("ns") == 2)
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("shared"))
+    # exact verify (round 6): equi-join the candidate pairs to the CACHED
+    # per-doc shingle-hash sets — once per side — and take the
+    # intersection size PER ROW with ``array_intersect``. Replaces the
+    # round-4 explode/count formulation (pair-doc explode -> join ->
+    # shs explode -> two grouped aggregations = 2 extra Exchanges): the
+    # intersection of two distinct-element arrays is exactly the "seen
+    # from both sides" count the old aggregation computed, but as pure
+    # per-row compute on the candidate-volume-sized frame — no shuffle of
+    # shingle rows at all. (Measured sf0.1 local[32]: 2 Exchanges + 2
+    # Generates removed from the verify subplan.) Everything downstream
+    # of the band join stays sized by the CANDIDATE volume.
+    a = sig.select(F.col("id").alias("id_a"), F.col("shs").alias("__shs_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("shs").alias("__shs_b"))
+    scored = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("__shs_a", "__shs_b")).alias("shared"),
+        )
     )
     return (
-        shared.withColumn(
+        scored.withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")).cast("double"), 4),
         )
@@ -421,9 +502,16 @@ def components_from_pairs(
             sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint()
 
-    e = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    edges = _ckpt(
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # checkpoint the DIRECTED pair list first, then mirror the
+    # materialized frame (round 6): the previous
+    # ``ckpt(e union reverse(e))`` referenced the pair-generator subplan
+    # twice inside one job, so the entire LSH band-join + verify ran
+    # twice before the first checkpoint. Mirroring after materialization
+    # evaluates the generator once; re-deriving the union from the
+    # checkpointed frame each round is an O(E) map over stored rows.
+    e = _ckpt(pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     lab = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
     # convergence detection (round 5): labels only ever DECREASE (min
@@ -698,12 +786,18 @@ def substring_duplicate_pairs(
     the same key) — the standard boilerplate guard at scale; the default
     ``None`` keeps exact semantics for the oracle.
     """
-    wins = df.select(
+    # round 6: _spread guard (without it a corpus that fits one parquet
+    # split runs the interpreted window explode on ONE core — measured
+    # 5.6 s wall at sf0.1) + persist, because the hashed-window frame
+    # feeds BOTH sides of the self-join (and the max_df pre-aggregation):
+    # without the cache each consumer re-runs the whole explode — the
+    # same measured trade ngram_jaccard_pairs/minhash_lsh_pairs make.
+    wins = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(word_ngrams(F.lower(F.trim(F.col(text_col))), window_n))
         ).alias("w"),
-    ).select("doc_id", F.md5("w").alias("h"))
+    ).select("doc_id", F.md5("w").alias("h")).persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         keep = wins.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
         wins = wins.join(keep.where(F.col("df_") <= max_df).select("h"), "h")

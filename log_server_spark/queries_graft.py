@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log_server_spark.functions.parse import parse_pages
-from log_server_spark.operators.dedup import DEDUP_KEY, anti_join_committed, split_duplicates
+from log_server_spark.operators.dedup import DEDUP_KEY
 from log_server_spark.plan_util import spread_small_input
 
 # 2024-01-01T00:00:00Z — synthetic record-time origin
@@ -131,6 +131,25 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with ``doc_id % 10 in (8, 9)`` are exact content clones of the
     decade anchor (``doc_id - doc_id % 10``); slices by ``doc_id % 3`` put
     clones both in-batch (same slice as anchor) and cross-batch.
+
+    Round 6 plan shape: because BOTH batches are in one plan here, the
+    per-batch first-wins dedups and the cross-batch anti-join collapse
+    into ONE aggregate over the dedup key — per key take the batch-1
+    winner ``min(struct(order, row))`` over batch-1 rows and the batch-2
+    winner over batch-2 rows, then emit the batch-1 winner when it exists,
+    else the batch-2 winner. Provably the same rows as
+    ``split_duplicates(b1) UNION (split_duplicates(b2) ANTI JOIN keys(b1))``:
+    the dedup keys partition the output, batch-1 keys keep their batch-1
+    winner (the anti-join would have dropped the batch-2 one), and keys
+    seen only in batch 2 keep their batch-2 winner
+    (tests/test_round6.py asserts equality with the operator composition).
+    This replaces 1 persist + 2 aggregate exchanges + a broadcast anti-join
+    + a union with a single shuffle, and the parse stage runs exactly once
+    WITHOUT a cache (one consumer), so no persist bookkeeping either
+    (measured sf0.1 local[32]: 29.2 -> ~16 cpu-s, wall 1.72 -> ~0.95).
+    The real incremental pipeline (plans/pipeline.py) keeps the
+    split_duplicates + anti_join_committed composition — there the
+    committed side is an EXISTING table, not a co-planned batch.
     """
     docs = _t(spark, sf_dir, "documents")
     anchor = F.when(
@@ -145,35 +164,27 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cid", "text", "source", "lang")
     )
     pages = synth_legacy_pages(anchored, url_id="doc_id", content_id="cid")
-    from pyspark.storagelevel import StorageLevel
-
-    # persisted: the b1/b2 batch split references this subplan twice, and
-    # the parse stage (the Arrow UDF) is the whole query's dominant cost —
-    # without the persist Spark parses the corpus once per branch (measured
-    # sf0.1 local[32]: 15.8 vs 30.7 cpu-s best-of-3; wall is storm noise).
-    # The caller runs the action after we return, so the frame can't be
-    # unpersisted here — instead each call releases the PREVIOUS call's
-    # frame, bounding a shared session (bench reps) to one live copy.
-    prev = getattr(q_dedup_pipeline, "_cached", None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
     parsed = (
         parse_pages(pages)
         .filter(F.col("status") == "ok")
         .withColumn("doc_id", F.regexp_extract("url", r"doc://(\d+)", 1).cast("long"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    q_dedup_pipeline._cached = parsed
-    b1 = parsed.filter(F.col("doc_id") % 3 != 2)
-    b2 = parsed.filter(F.col("doc_id") % 3 == 2)
-    kept1, _ = split_duplicates(b1, order_cols=["url", "seq"])
-    kept2, _ = split_duplicates(b2, order_cols=["url", "seq"])
-    kept2 = anti_join_committed(kept2, kept1.select(*DEDUP_KEY))
-    out = kept1.withColumn("batch", F.lit(1).cast("long")).unionByName(
-        kept2.withColumn("batch", F.lit(2).cast("long"))
     )
+    in_b1 = (F.col("doc_id") % 3 != 2).alias("__b1")
+    row = F.struct(*[F.col(c) for c in parsed.columns])
+    ordk = F.struct(F.col("url"), F.col("seq"))
+    packed = F.struct(ordk.alias("k"), row.alias("r"))
+    winners = (
+        parsed.withColumn("__b1", in_b1)
+        .groupBy(*DEDUP_KEY)
+        .agg(
+            F.min(F.when(F.col("__b1"), packed)).alias("w1"),
+            F.min(F.when(~F.col("__b1"), packed)).alias("w2"),
+        )
+    )
+    out = winners.select(
+        F.when(F.col("w1").isNotNull(), F.lit(1)).otherwise(F.lit(2)).cast("long").alias("batch"),
+        F.coalesce(F.col("w1.r"), F.col("w2.r")).alias("_row"),
+    ).select("batch", "_row.*")
     return out.select(F.col("batch"), *[c() for c in _PARSED_OUT])
 
 
