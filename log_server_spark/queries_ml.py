@@ -33,6 +33,7 @@ from log_server_spark.operators.dedup_text import (
     simhash_neardup_pairs,
 )
 from log_server_spark.operators.multimodal import extract_features, media_from_documents
+from log_server_spark.plan_util import spread_small_input
 from log_server_spark.operators.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
@@ -61,7 +62,9 @@ FROM documents
 
 
 def q_quality_score(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # map-only with interpreted stopword-filter lambdas: spread (see
+    # q_langid; measured 0.44 -> 0.19 wall)
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     feats = quality_features("text")
     return docs.select(
         "doc_id",
@@ -95,7 +98,10 @@ FROM documents
 
 
 def q_langid(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # heavy interpreted per-row lambdas on a map-only plan: spread the
+    # single-split local scan so they run on every core (no-op at scale;
+    # measured sf0.1 local[32] wall 0.46 -> 0.23)
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", langid("text").alias("lang_guess"))
 
 
@@ -591,7 +597,9 @@ def q_pii_scrub(spark, sf_dir):
     ASCII-class-only, where Java regex and RE2 agree."""
     from log_server_spark.functions.text import pii_counts, pii_scrub
 
-    docs = _t(spark, sf_dir, "documents")
+    # chained global regexes over full docs, map-only: spread (see
+    # q_langid; measured 0.31 -> 0.10 wall steady-state)
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     planted = docs.select(
         "doc_id",
         F.concat(
@@ -658,7 +666,8 @@ def q_token_chunks(spark, sf_dir):
     its tokenizer from. Pure codegen; one row per chunk."""
     from log_server_spark.functions.text import token_chunks, token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    # interpreted transform/slice chunker, map-only: spread (see q_langid)
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     ch = docs.select(
         "doc_id", F.explode(token_chunks("text", size=64, overlap=16)).alias("c")
     )

@@ -32,6 +32,7 @@ from log_server_spark.operators.web import (
     pagerank,
     registrable_domain,
 )
+from log_server_spark.plan_util import spread_small_input
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -352,8 +353,10 @@ def q_quality_classifier(spark, sf_dir):
     shape of a fasttext/DCLM-style quality model scored at inference time)
     over the engineered quality features, sigmoid score, keep at 0.5.
     Features are the pre-rounded quality_features columns so the arithmetic
-    is bit-reproducible across engines; all codegen, no UDF."""
-    docs = _t(spark, sf_dir, "documents")
+    is bit-reproducible across engines; all codegen, no UDF. Map-only with
+    interpreted stopword-filter lambdas -> spread the single-split local
+    scan (no-op at scale; measured 0.30 -> 0.13 wall steady-state)."""
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     f = quality_features("text")
     z = (
         F.lit(-2.0)
