@@ -496,10 +496,20 @@ def components_from_pairs(
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
-            return df.localCheckpoint()
+            # LAZY local checkpoint (round 6): materialization folds into
+            # the round's convergence-sum action instead of an eager job
+            # per checkpoint — one Spark job per round, not three. The
+            # implicit persist localCheckpoint carries means the frame
+            # still computes once even when the round references it twice
+            # before the action lands.
+            return df.localCheckpoint(eager=False)
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
+        # reliable checkpoints stay EAGER: a lazy reliable checkpoint
+        # recomputes the frame to write it at first action (no implicit
+        # persist), and the fault-tolerance contract wants the write to
+        # happen deterministically per round
         return df.checkpoint()
 
     # checkpoint the DIRECTED pair list first, then mirror the
