@@ -447,11 +447,11 @@ def kmeans_assign(
     - updated centroid coordinates are ROUNDED to 6 decimals — that one
       rounding pins the (summation-order-sensitive) elementwise means so
       iteration 2's argmin agrees bit-for-bit with any double-math oracle;
-    - argmin ties break on the lower centroid id (min_by on (dist, cid)).
+    - argmin ties break on the lower centroid id (min over (dist, cid)).
 
     Scale shape per iteration, N vectors x d dims x K clusters:
     - assignment: broadcast NLJ against the K-row centroid frame (K*d
-      doubles — model-sized, like the enrichment dims), then a min_by
+      doubles — model-sized, like the enrichment dims), then an argmin
       aggregation whose map-side combine collapses the N*K scored rows to
       one row per vector BEFORE the shuffle — the exchange carries O(N).
     - update: posexplode to (cluster, pos, val) with partial avg — the
@@ -485,14 +485,23 @@ def kmeans_assign(
             if last
             else F.struct(F.col("cid"), F.col("v"), F.col("d"))
         )
+        # Round 6: argmin as min(struct(order, payload)) instead of
+        # min_by(payload, order) — same winner ((d, cid) is unique per vid
+        # group: cid is distinct within the group and ties on d break on
+        # cid, so the lexicographic struct comparison never reaches the
+        # payload), but min is a declarative aggregate the hash aggregate
+        # runs in codegen buffers while min_by is a TypedImperativeAggregate
+        # that serializes its buffer per partial/merge row. Same change,
+        # same argument as operators/dedup.py:dedup_in_batch.
+        packed = F.struct(F.struct(F.col("d"), F.col("cid")).alias("k"), winner.alias("r"))
         assigned = (
             scored.groupBy("vid")
-            .agg(F.min_by(winner, F.struct(F.col("d"), F.col("cid"))).alias("w"))
+            .agg(F.min(packed).alias("p"))
             .select(
                 "vid",
-                F.col("w.cid").alias("cid"),
-                *([] if last else [F.col("w.v").alias("v")]),
-                F.col("w.d").alias("d"),
+                F.col("p.r.cid").alias("cid"),
+                *([] if last else [F.col("p.r.v").alias("v")]),
+                F.col("p.r.d").alias("d"),
             )
         )
         if last:

@@ -143,6 +143,16 @@ def pagerank(
     """
     n = n_nodes if n_nodes is not None else nodes.count()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Round 6, tried and REVERTED: persisting this frame (it is referenced
+    # by every iteration's subplan, and no ReusedExchange fires across the
+    # repeated subtrees) measured 7x WORSE cpu (3.6 -> 28 cpu-s, wall 1.4
+    # -> 2.2 s at sf0.1 local[32]): caching replaces the codegen
+    # parquet-scan + broadcast-join pipeline with an in-memory-columnar
+    # round-trip and de-broadcasts the joins via the cached relation's
+    # statistics. The repeated subtree is the cheaper evaluation; at
+    # cluster scale a caller iterating >> 3 rounds can persist the frame
+    # themselves (the operator takes a DataFrame — persist composes from
+    # outside).
     edges_w = edges.join(deg, "src").select("src", "dst", "outdeg")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):

@@ -169,3 +169,55 @@ def test_neardup_flat_cells_match_numpy_all_pairs(spark):
             if ids[i] < ids[j] and sims[i, j] >= 0.4:
                 want.append((int(ids[i]), int(ids[j]), float(np.round(sims[i, j], 4))))
     assert got == sorted(want)
+
+
+def test_kmeans_min_struct_equals_min_by_argmin(spark):
+    """kmeans_assign's round-6 min(struct(order, payload)) argmin == the
+    min_by(payload, order) formulation it replaced, on the full sf0.01
+    embedding table (ties on distance resolve to the lower centroid id in
+    both forms because (d, cid) is unique per group)."""
+    from log_server_spark.operators.similarity import _as_double, _sqdist, kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = _norm(kmeans_assign(emb, k=8, iters=2).toPandas())
+
+    # reference: the pre-rewrite min_by argmin, same init/update math
+    v = emb.select(F.col("vec_id").alias("vid"), _as_double(F.col("embedding")).alias("v"))
+    cent = v.orderBy("vid").limit(8).select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    for it in range(2):
+        last = it == 1
+        scored = v.join(F.broadcast(cent)).withColumn("d", _sqdist(F.col("v"), F.col("cv")))
+        winner = (
+            F.struct(F.col("cid"), F.col("d"))
+            if last
+            else F.struct(F.col("cid"), F.col("v"), F.col("d"))
+        )
+        assigned = (
+            scored.groupBy("vid")
+            .agg(F.min_by(winner, F.struct(F.col("d"), F.col("cid"))).alias("w"))
+            .select(
+                "vid",
+                F.col("w.cid").alias("cid"),
+                *([] if last else [F.col("w.v").alias("v")]),
+                F.col("w.d").alias("d"),
+            )
+        )
+        if last:
+            break
+        cent = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+                ).alias("cv")
+            )
+        )
+    want = _norm(
+        assigned.select(
+            "vid", F.col("cid").alias("cluster"), F.round(F.col("d"), 4).alias("dist_r")
+        ).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
