@@ -275,64 +275,51 @@ def minhash_signature_frame(
     (partitioned/bucketed like records_keys) so later dedup runs never
     re-explode the committed corpus.
 
-    Two physically different but value-identical builds (round 6):
+    Computed entirely PER ROW with array expressions (round 6, BOTH
+    bases): base hashes via one ``transform`` over the distinct-shingle
+    array, each minimum via ``array_min(transform(...))`` — so the whole
+    signature is a map-only projection: no explode, no shuffle, no
+    aggregate. Measured sf0.1 local[32] vs the round-5 explode+groupBy
+    form: xxhash64 8.7 -> 3.7 cpu-s; md5 full-operator 32.6 -> 11.3
+    cpu-s (wall 1.81 -> 1.36 s), and still ahead at a 20x corpus
+    (signature-only 31.8 -> 23.1 cpu-s). The round-5 belief that the md5
+    base should keep the explode+codegen-aggregate form was re-measured
+    and reversed this round: the aggregate carried ``collect_list`` (a
+    TypedImperativeAggregate), which forces the whole 18-function
+    aggregate off the codegen hash-aggregate path, and THAT cost — not
+    the interpreted-lambda md5 — dominated the comparison. One Exchange
+    removed for every base.
 
-    - ``base="xxhash64"`` (production): computed entirely PER ROW with
-      array expressions — base hashes via one ``transform`` over the
-      distinct-shingle array, each minimum via ``array_min(transform(...))``
-      — so the whole signature is a map-only projection: no explode, no
-      shuffle, no aggregate. (The interpreted higher-order lambdas are
-      cheap for xxhash64; measured sf0.1 local[32]: 8.7 -> 3.7 cpu-s and
-      one Exchange removed vs the explode+groupBy form.)
-    - ``base="md5"`` (the oracle twin): explode + whole-stage-codegen md5
-      + grouped min aggregates. Here the base hash dominates, and md5 (+
-      the hex->decimal conversion) inside an interpreted lambda measured
-      SLOWER than the explode round-trip (13.5 vs 11.5 cpu-s), so the md5
-      path keeps the aggregate form — per-element codegen beats one fewer
-      shuffle when the per-element op is expensive.
-
-    tests/test_round6.py asserts the two builds of the same base agree
-    row-for-row (per-row vs explode+aggregate, shs compared as sets).
+    tests/test_round6.py asserts the per-row build agrees row-for-row
+    with the explode+aggregate formulation for both bases (shs compared
+    as sets — the array order differs, no consumer is order-sensitive).
     """
-    if base == "xxhash64":
-        # the docs-with-no-shingles drop (grams empty <=> fewer than n
-        # words, incl. NULL/empty text) is expressed on the RAW text, not
-        # as size(bs) > 0: a filter on the derived array would be pushed
-        # below the spread Exchange and re-evaluate the whole gram+hash
-        # chain on the scan's (single, at this corpus size) partition —
-        # the §4.4-style duplicated-expression trap, caught in the plan
-        d = (
-            _spread(df)
-            .where(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n)
-            .select(
-                F.col(id_col).alias("id"),
-                F.array_distinct(word_ngrams(text_col, shingle_n)).alias("g"),
-            )
+    # the docs-with-no-shingles drop (grams empty <=> fewer than n
+    # words, incl. NULL/empty text) is expressed on the RAW text, not
+    # as size(bs) > 0: a filter on the derived array would be pushed
+    # below the spread Exchange and re-evaluate the whole gram+hash
+    # chain on the scan's (single, at this corpus size) partition —
+    # the §4.4-style duplicated-expression trap, caught in the plan
+    d = (
+        _spread(df)
+        .where(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(word_ngrams(text_col, shingle_n)).alias("g"),
         )
-        d = d.select(
-            "id",
-            F.transform("g", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))).alias("bs"),
-            F.transform("g", lambda s: F.xxhash64(s)).alias("shs"),
-        )
-        cols = [
-            F.array_min(
-                F.transform("bs", lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)))
-            ).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
-        ]
-        return d.select("id", *cols, F.size("bs").alias("sz"), "shs")
-    sh = _shingle_frame(df, id_col, text_col, shingle_n).withColumn(
-        "b", _base_hash_mod_p(F.col("shingle"), base)
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("b") + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
+    d = d.select(
+        "id",
+        F.transform("g", lambda s: _base_hash_mod_p(s, base)).alias("bs"),
+        F.transform("g", lambda s: F.xxhash64(s)).alias("shs"),
+    )
+    cols = [
+        F.array_min(
+            F.transform("bs", lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P)))
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
-    return sh.groupBy("id").agg(
-        *aggs,
-        F.count("*").alias("sz"),
-        F.collect_list(F.xxhash64("shingle")).alias("shs"),
-    )
+    return d.select("id", *cols, F.size("bs").alias("sz"), "shs")
 
 
 def minhash_lsh_pairs_from_signatures(

@@ -66,9 +66,13 @@ def test_dedup_pipeline_single_agg_equals_operator_composition(spark):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-def test_signature_frame_per_row_equals_aggregate_form(spark):
-    """minhash_signature_frame's per-row xxhash64 build == the
-    explode+groupBy build (shs compared as sorted sets)."""
+import pytest
+
+
+@pytest.mark.parametrize("base", ["xxhash64", "md5"])
+def test_signature_frame_per_row_equals_aggregate_form(spark, base):
+    """minhash_signature_frame's per-row build (round 6, both bases) ==
+    the round-5 explode+groupBy build (shs compared as sorted sets)."""
     from log_server_spark.operators.dedup_text import (
         MERSENNE_P,
         _base_hash_mod_p,
@@ -79,10 +83,10 @@ def test_signature_frame_per_row_equals_aggregate_form(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     num_hashes = 16
-    per_row = minhash_signature_frame(docs, "doc_id", "text", num_hashes, 3, "xxhash64")
+    per_row = minhash_signature_frame(docs, "doc_id", "text", num_hashes, 3, base)
 
     sh = _shingle_frame(docs, "doc_id", "text", 3).withColumn(
-        "b", _base_hash_mod_p(F.col("shingle"), "xxhash64")
+        "b", _base_hash_mod_p(F.col("shingle"), base)
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("b") + F.lit(b), F.lit(MERSENNE_P))).alias(f"mh_{i}")
