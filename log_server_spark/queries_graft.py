@@ -170,9 +170,26 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.regexp_extract("url", r"doc://(\d+)", 1).cast("long"))
     )
     in_b1 = (F.col("doc_id") % 3 != 2).alias("__b1")
-    row = F.struct(*[F.col(c) for c in parsed.columns])
+    # §2.3 project-before-the-exchange (round 6, second pass): the packed
+    # winner carries exactly the 7 OUTPUT columns, computed BEFORE the
+    # dedup shuffle — fp (a 16-byte md5) replaces the ~240-char text, and
+    # lang/warc_ts/n_bytes (never output) don't cross the wire at all.
+    # fp is a pure function of the winner row's text, so computing it
+    # pre-aggregate on every row vs post-aggregate on the winner yields
+    # the same value for the same winner; the winner itself is pinned by
+    # the unchanged (url, seq) order key. Narrower rows also shrink the
+    # two min-buffer payload copies per first-seen key.
+    outcols = F.struct(
+        F.col("doc_id"),
+        F.col("seq").cast("long").alias("seq"),
+        F.col("status"),
+        F.col("table").alias("tbl"),
+        F.col("record_id"),
+        F.coalesce(F.col("ts_millis"), F.lit(-1)).alias("ts_ms"),
+        F.md5(F.encode("text", "UTF-8")).alias("fp"),
+    )
     ordk = F.struct(F.col("url"), F.col("seq"))
-    packed = F.struct(ordk.alias("k"), row.alias("r"))
+    packed = F.struct(ordk.alias("k"), outcols.alias("r"))
     winners = (
         parsed.withColumn("__b1", in_b1)
         .groupBy(*DEDUP_KEY)
@@ -181,11 +198,10 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(~F.col("__b1"), packed)).alias("w2"),
         )
     )
-    out = winners.select(
+    return winners.select(
         F.when(F.col("w1").isNotNull(), F.lit(1)).otherwise(F.lit(2)).cast("long").alias("batch"),
         F.coalesce(F.col("w1.r"), F.col("w2.r")).alias("_row"),
     ).select("batch", "_row.*")
-    return out.select(F.col("batch"), *[c() for c in _PARSED_OUT])
 
 
 # ---------------------------------------------------------------------------
