@@ -56,11 +56,13 @@ def dedup_in_batch(df: DataFrame, order_cols: list[str] | None = None) -> DataFr
     Round 6: ``min(struct(order, row))`` instead of ``min_by(row, order)``
     — same winner (the order tuple is unique per group, so the
     lexicographic struct comparison never reaches the row payload), but
-    ``min`` is a declarative aggregate the hash aggregate evaluates with
-    codegen buffers, while ``min_by`` is a TypedImperativeAggregate that
-    serializes its buffer per partial/merge. Measured (sf0.1 synth corpus,
-    local[32]): the dedup aggregate's share dropped ~36% cpu
-    (13.9 -> 8.9 cpu-s over the same persisted parse input).
+    ``min`` is a declarative aggregate while ``min_by`` is a
+    TypedImperativeAggregate that serializes its buffer per partial/merge
+    row (struct-typed buffers keep both forms in sort/object-based
+    aggregation — the justification is the measurement, not a codegen
+    claim). Measured (sf0.1 synth corpus, local[32]): the dedup
+    aggregate's share dropped ~36% cpu (13.9 -> 8.9 cpu-s over the same
+    persisted parse input).
     """
     order_cols = order_cols or ["url", "warc_ts", "seq"]
     row = F.struct(*[F.col(c) for c in df.columns])

@@ -489,10 +489,11 @@ def kmeans_assign(
         # min_by(payload, order) — same winner ((d, cid) is unique per vid
         # group: cid is distinct within the group and ties on d break on
         # cid, so the lexicographic struct comparison never reaches the
-        # payload), but min is a declarative aggregate the hash aggregate
-        # runs in codegen buffers while min_by is a TypedImperativeAggregate
-        # that serializes its buffer per partial/merge row. Same change,
-        # same argument as operators/dedup.py:dedup_in_batch.
+        # payload), but min is a declarative aggregate while min_by is a
+        # TypedImperativeAggregate that serializes its buffer per
+        # partial/merge row (struct buffers keep both sort/object-based;
+        # the A/B measurement is the justification). Same change, same
+        # argument as operators/dedup.py:dedup_in_batch.
         packed = F.struct(F.struct(F.col("d"), F.col("cid")).alias("k"), winner.alias("r"))
         assigned = (
             scored.groupBy("vid")
