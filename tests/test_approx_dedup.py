@@ -26,6 +26,7 @@ def emb(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
 
+@pytest.mark.slow
 def test_minhash_lsh_recall_vs_exact(docs):
     """16 hashes / 8 bands of 2: P(candidate | j=0.8) = 1-(1-j^2)^8 ≈ 0.9997.
     Every exact pair at jaccard >= 0.8 must be found (this corpus has ~20)."""
@@ -96,6 +97,7 @@ def test_simhash_neardup_pairs_complete_within_radius(docs):
     assert got == brute
 
 
+@pytest.mark.slow
 def test_ann_lsh_recall_vs_exact(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") >= 20)

@@ -10,6 +10,8 @@ import pytest
 from log_server_spark.cli import main as cli_main
 from log_server_spark.datagen import write_dataset
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def env(tmp_path_factory, spark):

@@ -72,6 +72,7 @@ def _expected_records(rows_per_batch=500):
     return ok_kept, dups, errors
 
 
+@pytest.mark.slow
 def test_dedup_and_error_counts_match_reference(spark, warehouse):
     wh, results = warehouse
     ok_kept, dups, errors = _expected_records()
@@ -132,6 +133,7 @@ def test_resume_noop_when_committed(spark, warehouse, dataset):
     assert wh.read(RECORDS).count() == before
 
 
+@pytest.mark.slow
 def test_torn_batch_reprocessed_idempotently(spark, warehouse, dataset):
     """Crash-after-write-before-lineage: batch dir exists, no lineage row.
     Rerun must converge to the identical final state (T4 analogue)."""
@@ -193,6 +195,7 @@ def test_ingest_metrics_sum(spark, warehouse):
         assert rows[res.batch]["errors"] == res.errors
 
 
+@pytest.mark.slow
 def test_salting_does_not_change_results(spark, dataset, tmp_path_factory):
     """Skew knob (SURVEY §5): hot-domain input must produce identical final
     state with and without salting; salting only spreads reducer load."""

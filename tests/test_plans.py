@@ -85,6 +85,7 @@ def test_flagship_single_scan(spark):
     assert plan.count("Location:") == 1
 
 
+@pytest.mark.slow
 def test_no_driver_collect_in_any_query(spark, monkeypatch):
     """No queries() plan may materialize data on the driver during
     construction (the 100 TB ban on collect-and-broadcast operators)."""

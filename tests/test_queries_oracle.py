@@ -39,8 +39,28 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
+# slowest parity params (measured --durations, round 6): deselect with
+# -m "not slow" for the fast inner loop; the full suite stays the gate
+SLOW_PARITY = {
+    "pipeline_e2e",
+    "dedup_simhash",
+    "embedding_ann_lsh",
+    "dedup_keep_best",
+    "dedup_clusters",
+    "dedup_minhash_lsh_md5",
+    "dedup_ngram_jaccard",
+    "dedup_substring",
+    "dedup_incremental",
+}
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in SLOW_PARITY else n
+        for n in sorted(ORACLES)
+    ],
+)
 def test_query_matches_oracle(spark, con, name):
     sdf = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
     ddf = _normalize(con.sql(ORACLES[name]).df())

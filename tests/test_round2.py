@@ -38,6 +38,7 @@ def warehouse(spark, dataset, tmp_path_factory):
     return Warehouse(whdir, spark)
 
 
+@pytest.mark.slow
 def test_keys_table_day_partitioned_and_pruned(spark, warehouse):
     """The committed-keys anti-join side must prune day= partitions (the
     ts-range probe gate, BigStorage.scala:30, realized as file skipping)."""
@@ -65,6 +66,7 @@ def test_keys_table_day_partitioned_and_pruned(spark, warehouse):
     assert len(touched) < len(days)
 
 
+@pytest.mark.slow
 def test_keys_match_records(spark, warehouse):
     keys = warehouse.read(RECORDS_KEYS)
     ok = warehouse.read(RECORDS).filter(F.col("status") == "ok")
@@ -77,6 +79,7 @@ def test_keys_match_records(spark, warehouse):
     )
 
 
+@pytest.mark.slow
 def test_incremental_refresh_never_rescans_records(spark, warehouse):
     """Aggregate refresh must read ONLY the per-batch partials: it still
     works — and reproduces the same numbers — with the records table gone."""
@@ -114,6 +117,7 @@ def test_incremental_refresh_never_rescans_records(spark, warehouse):
     assert win.agg(F.sum("n_rows")).collect()[0][0] == records.count()
 
 
+@pytest.mark.slow
 def test_lock_blocks_concurrent_update(spark, dataset, warehouse):
     lock_path = os.path.join(warehouse.root, "db.lock")
     with open(lock_path, "w") as f:
@@ -128,6 +132,7 @@ def test_lock_blocks_concurrent_update(spark, dataset, warehouse):
         os.remove(lock_path)
 
 
+@pytest.mark.slow
 def test_stale_lock_from_dead_pid_is_stolen(spark, dataset, warehouse):
     lock_path = os.path.join(warehouse.root, "db.lock")
     with open(lock_path, "w") as f:
@@ -140,6 +145,7 @@ def test_stale_lock_from_dead_pid_is_stolen(spark, dataset, warehouse):
     assert not os.path.exists(lock_path)
 
 
+@pytest.mark.slow
 def test_resume_revalidates_unit_lists(spark, dataset, warehouse):
     """Changing --batch-files remaps positional batch ids; resume must
     reprocess (and drop orphans) instead of silently skipping remapped
@@ -162,6 +168,7 @@ def test_resume_revalidates_unit_lists(spark, dataset, warehouse):
     assert pb == {"b00000", "b00001"}
 
 
+@pytest.mark.slow
 def test_archive_crash_recovery(spark, warehouse):
     """records.old present without records => restore; with records => drop.
 
@@ -227,6 +234,7 @@ def test_multimodal_decode_with_and_without_pil(monkeypatch):
     assert decoded[0][0] == 7.0 and decoded[0][1] == 0.0
 
 
+@pytest.mark.slow
 def test_multi_warehouse_get_fan_out(spark, dataset, warehouse, tmp_path_factory, capsys):
     """CLI `get` unions results across warehouses (GetCommand.scala:29-36)."""
     from log_server_spark.cli import main as cli_main
@@ -249,6 +257,7 @@ def test_multi_warehouse_get_fan_out(spark, dataset, warehouse, tmp_path_factory
     assert len(out) >= 2 and len(out) % 2 == 0
 
 
+@pytest.mark.slow
 def test_torn_batch_under_remap_loses_nothing(spark, dataset, tmp_path_factory):
     """Review finding: a TORN batch's keys dirs must be swept before any
     earlier batch runs, or under a batch-id remap the earlier batch
@@ -271,6 +280,7 @@ def test_torn_batch_under_remap_loses_nothing(spark, dataset, tmp_path_factory):
     assert wh.read(RECORDS_KEYS).count() == wh.read(RECORDS).filter(F.col("status") == "ok").count()
 
 
+@pytest.mark.slow
 def test_all_duplicate_batch_counts_duplicates(spark, dataset, tmp_path_factory):
     """A batch whose every parseable record is a cross-batch duplicate (and
     with no error rows) writes nothing — but must still report duplicates."""

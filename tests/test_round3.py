@@ -99,6 +99,7 @@ def dataset(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow
 def test_resume_false_then_crash_loses_nothing(spark, dataset, tmp_path_factory):
     """ADVICE #2: resume=False must drop each batch's lineage/metrics along
     with its data; otherwise a cutoff (max_batches, crash) mid-rerun leaves
@@ -120,6 +121,7 @@ def test_resume_false_then_crash_loses_nothing(spark, dataset, tmp_path_factory)
     assert all(r["count"] == 1 for r in m)
 
 
+@pytest.mark.slow
 def test_drop_batch_sweeps_legacy_rows_even_with_per_batch_file(spark, dataset, tmp_path_factory):
     """ADVICE #3: a batch can have BOTH a per-batch bookkeeping file and
     leftover legacy (timestamp-named) rows; _drop_batch must remove both or
@@ -151,6 +153,7 @@ def test_drop_batch_sweeps_legacy_rows_even_with_per_batch_file(spark, dataset, 
     assert "/nonexistent/poison.parquet" not in units
 
 
+@pytest.mark.slow
 def test_exact_and_merged_refresh_agree_on_n_keys(spark, dataset, tmp_path_factory):
     """ADVICE #4: exact (GROUPING SETS rescan) and merged (partials) refresh
     paths must publish the SAME n_keys per sink — including the error sink,
@@ -167,6 +170,7 @@ def test_exact_and_merged_refresh_agree_on_n_keys(spark, dataset, tmp_path_facto
     assert "error" in exact  # fixture plants malformed pages
 
 
+@pytest.mark.slow
 def test_bookkeeping_rewrite_is_crash_recoverable(spark, dataset, tmp_path_factory):
     """ADVICE #5: a crash at ANY point of the legacy-row rewrite leaves the
     table restorable — recovery on lock acquisition finishes or rolls back
@@ -199,6 +203,7 @@ def test_bookkeeping_rewrite_is_crash_recoverable(spark, dataset, tmp_path_facto
     assert wh.read(LINEAGE).count() == n
 
 
+@pytest.mark.slow
 def test_drop_batch_rewrite_preserves_per_batch_files(spark, dataset, tmp_path_factory):
     """The legacy-row rewrite must NOT fold per-batch files into the merged
     rewrite file: a later overwrite of part-bNNNNN.parquet would then
@@ -219,6 +224,7 @@ def test_drop_batch_rewrite_preserves_per_batch_files(spark, dataset, tmp_path_f
     assert batches == {"b00000"}
 
 
+@pytest.mark.slow
 def test_archived_batches_are_read_only(spark, dataset, tmp_path_factory, capsys):
     """VERDICT round-2 'What's missing' #2: archive must flip compacted
     batches read-only — a later update whose remapped batch ids would
@@ -257,6 +263,7 @@ def test_archived_batches_are_read_only(spark, dataset, tmp_path_factory, capsys
     assert len(r) == 4  # rebuilt under the remapped layout
 
 
+@pytest.mark.slow
 def test_committed_keys_bucketed_no_exchange(spark, dataset, tmp_path_factory, monkeypatch):
     """ROADMAP #3 / VERDICT next-round #5: the committed side of the
     per-batch anti-join must come from the BUCKETED keys table with no
@@ -348,6 +355,7 @@ def test_pii_scrub_classes(spark):
     assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
 
 
+@pytest.mark.slow
 def test_saved_format_ingestion_end_to_end(spark, tmp_path_factory, capsys):
     """Migration path: real LogWriterClient-format `.saved` files ingested
     by the SAME pipeline protocol (`update --format saved`) — dedup across

@@ -100,6 +100,7 @@ def _write_pages_unit(path, rows):
     )
 
 
+@pytest.mark.slow
 def test_legacy_warehouse_skips_unsound_day_prune(spark, tmp_path_factory):
     """Simulate a round-1 warehouse whose records_keys day= partitions were
     written from the CAPTURE day: the committed duplicate must still be
@@ -165,6 +166,7 @@ def _legacy_keys_name(root: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_archive_compacts_keys_and_bookkeeping(spark, tmp_path_factory, monkeypatch):
     from log_server_spark.cli import main as cli_main
     from log_server_spark.datagen import write_dataset
@@ -278,6 +280,7 @@ def test_decode_saved_truncation_is_valueerror():
     assert decode_saved_bytes("t.saved", struct.pack(">i", 2)) == []
 
 
+@pytest.mark.slow
 def test_archive_sweeps_torn_batches_before_compacting(spark, tmp_path_factory):
     """A torn (lineage-less) batch must be swept by `archive`, not folded
     into batch=archived or marked read-only — otherwise its orphaned keys
@@ -326,6 +329,7 @@ def test_archive_sweeps_torn_batches_before_compacting(spark, tmp_path_factory):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_adaptive_salt_reallocates_files_by_sink_volume(spark, tmp_path_factory, monkeypatch):
     """Batch 2+ sizes its salt from batch 1's observed per-sink volumes:
     cold sinks collapse to one file, the hot sink gets more than the
@@ -375,6 +379,7 @@ def test_adaptive_salt_reallocates_files_by_sink_volume(spark, tmp_path_factory,
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_streaming_saved_source_matches_batch(spark, tmp_path):
     """Incrementally landed `.saved`/`.saved.gz` files drained by the
     streaming source (checkpointed across two availableNow runs, dedup state
@@ -442,6 +447,7 @@ def test_components_from_pairs_chain_and_singletons(spark):
         assert got[i] == i
 
 
+@pytest.mark.slow
 def test_components_from_pairs_random_graphs_vs_union_find(spark):
     """Randomized oracle: min-label components must equal a driver-side
     union-find on arbitrary sparse graphs (multiple seeds, isolated nodes,
@@ -489,6 +495,7 @@ def test_components_from_pairs_random_graphs_vs_union_find(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_streaming_saved_chain_to_sessions(spark, tmp_path):
     """The wire-format stream composes with the stage-2 sessionizer through
     a committed file sink: `.saved` files -> start_saved_ingest (records

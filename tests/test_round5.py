@@ -153,6 +153,7 @@ def test_sweep_refuses_when_lineage_missing(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_sink_salts_reads_only_newest_partials_file(spark, tmp_path):
     from log_server_spark.datagen import write_dataset
     from log_server_spark.plans.pipeline import METRICS_PARTIALS, _sink_salts
@@ -179,6 +180,7 @@ def test_sink_salts_reads_only_newest_partials_file(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_components_reliable_checkpoint_same_labels(spark, tmp_path):
     from log_server_spark.operators.dedup_text import components_from_pairs
 
@@ -249,6 +251,7 @@ def test_lsh_threshold_zero_raises(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_salt_volume_cap_collapses_small_batches(spark, tmp_path):
     from log_server_spark.datagen import write_dataset
     from log_server_spark.plans.pipeline import RECORDS as REC, _sink_salts
@@ -461,6 +464,7 @@ def test_dedup_substring_matches_duckdb_oracle(spark):
         assert s[col].astype("int64").tolist() == d[col].astype("int64").tolist(), col
 
 
+@pytest.mark.slow
 def test_dedup_incremental_equals_full_pairs_filtered(spark):
     """Property behind the oracle: incremental mode == full LSH pairs
     filtered to pairs touching the delta."""
@@ -569,6 +573,7 @@ def test_perplexity_buckets_semantics(spark):
         assert med["head"] <= med["middle"] <= med["tail"], (lang, dict(med))
 
 
+@pytest.mark.slow
 def test_lsh_pairs_from_stored_signatures(spark, tmp_path):
     """The stored-signatures lifecycle: signatures written to parquet by
     minhash_signature_frame, read back, and fed to

@@ -25,6 +25,7 @@ def _lookups(spark, data):
     )
 
 
+@pytest.mark.slow
 def test_streaming_matches_batch_routing(spark, data, tmp_path):
     ll, dl = _lookups(spark, data)
     out = str(tmp_path / "out")
@@ -54,6 +55,7 @@ def test_streaming_matches_batch_routing(spark, data, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streaming_restart_is_exactly_once(spark, data, tmp_path):
     """Restarting from the same checkpoint must not duplicate rows."""
     ll, dl = _lookups(spark, data)
@@ -87,6 +89,7 @@ def test_streaming_windowed_stats_runs(spark, data, tmp_path):
     assert set(df.columns) == {"window_start", "sink", "n_rows", "n_urls_approx"}
 
 
+@pytest.mark.slow
 def test_chained_record_sessions_exactly_once(spark, data, tmp_path):
     """Stage-1 ingest sink -> stage-2 per-domain session stream, chained via
     the sink's _spark_metadata commit log. Across a two-wave restart: no
